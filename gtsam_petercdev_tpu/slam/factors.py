@@ -1,0 +1,78 @@
+"""Core SLAM factor types: Prior and Between over any registered Lie group.
+
+Reference semantics:
+  PriorFactor<T>::evaluateError(x)  = -Local(x, prior), Jacobian = Identity
+    (gtsam/nonlinear/PriorFactor.h:98-102)
+  BetweenFactor<T>::evaluateError   = Local(measured, between(x1, x2)) with
+    Jacobians of `between` alone — the default build OMITS the Local
+    chain-rule term (gtsam/slam/BetweenFactor.h:111-124,
+    GTSAM_SLOW_BUT_CORRECT_BETWEENFACTOR off).
+
+Both conventions are the classical "manifold GN on h(x) ⊖ z" formulation:
+Jacobians are taken in h(x)'s own tangent chart at the linearization point.
+They are reproduced here exactly (via FactorType.linearize_residual) so that
+converged solutions match the reference bit-for-bit in structure; set
+gtsam_compatible=False for fully-consistent autodiff Jacobians of the cost.
+
+`Local` is each type's canonical chart as registered in core.manifold —
+first-order for Pose2, expmap for Pose3/Rot3, matching the reference's
+default build flags (Pose2.cpp:99-120; GTSAM_POSE3_EXPMAP ON).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from gtsam_petercdev_tpu.core import manifold
+from gtsam_petercdev_tpu.nonlinear.factor_graph import FactorType
+
+
+@lru_cache(maxsize=None)
+def prior_factor(type_name: str, gtsam_compatible: bool = True) -> FactorType:
+    """Unary prior; params = prior value."""
+    m = manifold.get(type_name)
+
+    def residual(xs, params):
+        (x,) = xs
+        return -m.local(x, params)
+
+    def linearize_residual(xs_r, xs0, params):
+        # value at delta=0: -Local(x0, prior); Jacobian: d/ddelta
+        # Local(x0, x0 ⊞ delta) = Identity (PriorFactor.h:99).
+        (x,) = xs_r
+        (x0,) = xs0
+        return -m.local(x0, params) + m.local(x0, x)
+
+    return FactorType(
+        name=f"Prior{type_name}",
+        var_types=(type_name,),
+        resid_dim=m.dim,
+        residual=residual,
+        linearize_residual=linearize_residual if gtsam_compatible else None,
+    )
+
+
+@lru_cache(maxsize=None)
+def between_factor(type_name: str, gtsam_compatible: bool = True) -> FactorType:
+    """Binary relative measurement; params = measured value."""
+    m = manifold.get(type_name)
+
+    def residual(xs, params):
+        x1, x2 = xs
+        return m.local(params, m.between(x1, x2))
+
+    def linearize_residual(xs_r, xs0, params):
+        # value at delta=0: Local(measured, h0); Jacobian: derivative of
+        # between() in the chart at h0 — no Local chain term
+        # (BetweenFactor.h:122, default build).
+        x1, x2 = xs_r
+        h0 = m.between(xs0[0], xs0[1])
+        return m.local(params, h0) + m.local(h0, m.between(x1, x2))
+
+    return FactorType(
+        name=f"Between{type_name}",
+        var_types=(type_name, type_name),
+        resid_dim=m.dim,
+        residual=residual,
+        linearize_residual=linearize_residual if gtsam_compatible else None,
+    )
