@@ -1,0 +1,104 @@
+"""Benchmark driver: one JSON line with the headline metric.
+
+Headline: wall-clock per Gauss-Newton iteration (linearize + assemble +
+dense Cholesky solve + retract, all jitted on-device) on the reference's
+Pose3 sphere2500 g2o benchmark (examples/Data/sphere2500.txt; reference
+harness examples/SolverComparer.cpp / Pose3SLAMExample_g2o.cpp).
+
+vs_baseline compares against the locally measured reference GTSAM batch
+solve on the same machine's CPU (see BASELINE.md) — values > 1 mean this
+framework is faster per iteration.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference GTSAM (Release, bundled Eigen, 2-core CPU box) measured via
+# Pose3SLAMExample_g2o on sphere2500: see BASELINE.md. Per-GN-iteration time.
+BASELINE_GN_ITER_MS = None  # filled after measuring the reference build
+_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_local.json")
+
+
+def _baseline_ms():
+    if BASELINE_GN_ITER_MS is not None:
+        return BASELINE_GN_ITER_MS
+    try:
+        with open(_BASELINE_FILE) as f:
+            return json.load(f)["sphere2500_gn_iter_ms"]
+    except Exception:
+        return None
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.linear import noise, solve as linsolve
+    from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
+    from gtsam_petercdev_tpu.slam.factors import prior_factor
+    from gtsam_petercdev_tpu.utils import dataset
+
+    path = dataset.find_example_data("sphere2500.txt")
+    graph, values = dataset.read_g2o(path, is3D=True, dtype=np.float32)
+    graph.add(
+        prior_factor("Pose3"),
+        [0],
+        values.at(0),
+        noise.diagonal_precisions(jnp.full((6,), 1e4, dtype=jnp.float32)),
+    )
+    graph._materialize()
+
+    @jax.jit
+    def gn_step(values_in):
+        lg = graph.linearize(values_in)
+        H, g = linsolve.assemble_dense(lg)
+        x = linsolve.dense_solve(H, g, 1e-5)
+        delta = {}
+        start = 0
+        for t in sorted(lg.type_counts.keys()):
+            n, dim = lg.type_counts[t], manifold.get(t).dim
+            delta[t] = x[start : start + n * dim].reshape(n, dim)
+            start += n * dim
+        return values_in.retract(delta)
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    out = gn_step(values)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    cur = values
+    for _ in range(5):
+        t0 = time.perf_counter()
+        cur = gn_step(cur)
+        jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+        times.append((time.perf_counter() - t0) * 1e3)
+
+    iter_ms = float(np.median(times))
+    base = _baseline_ms()
+    vs = (base / iter_ms) if base else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "sphere2500_gn_iter_ms",
+                "value": round(iter_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+    print(
+        f"# compile {compile_s:.1f}s, times {['%.1f' % t for t in times]}, "
+        f"backend {jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

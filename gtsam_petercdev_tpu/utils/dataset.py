@@ -29,6 +29,56 @@ from gtsam_petercdev_tpu.slam.factors import between_factor
 import jax.numpy as jnp
 
 
+def _ypr_matrix(yaw, pitch, roll):
+    """Rot3::Ypr(y,p,r) = Rz(y) Ry(p) Rx(r) as a numpy 3x3."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
+
+
+def _mat_to_quat(R):
+    """3x3 -> (w,x,y,z) quaternion (host-side numpy)."""
+    import jax.numpy as jnp
+
+    return np.asarray(so3.to_quaternion(jnp.asarray(R)))
+
+
+def initialize_from_odometry(edges3, first=None):
+    """Compose sequential edges into an initial trajectory.
+
+    edges3: list of (i, j, t, q_wxyz, info). Returns {id: (t, q_wxyz)}.
+    Mirrors the incremental bootstrap used by the reference's
+    SolverComparer/ISAM2 harnesses for vertex-less TORO files.
+    """
+    poses = {}
+    if first is None:
+        first = min(min(i, j) for (i, j, *_r) in edges3)
+    poses[first] = (np.zeros(3), np.array([1.0, 0.0, 0.0, 0.0]))
+
+    import jax.numpy as jnp
+
+    def q_to_R(q):
+        return np.asarray(so3.from_quaternion(jnp.asarray(q)))
+
+    for (i, j, t, q, _info) in edges3:
+        if i in poses and j not in poses:
+            ti, qi = poses[i]
+            Ri = q_to_R(qi)
+            Rij = q_to_R(q)
+            poses[j] = (ti + Ri @ t, _mat_to_quat(Ri @ Rij))
+        elif j in poses and i not in poses:
+            tj, qj = poses[j]
+            Rj = q_to_R(qj)
+            Rij = q_to_R(q)
+            Ri = Rj @ Rij.T
+            poses[i] = (tj - Ri @ t, _mat_to_quat(Ri))
+    return poses
+
+
 def _sym_from_upper(vals, d):
     """Fill symmetric dxd from upper-triangle row-major list."""
     M = np.zeros((d, d))
@@ -73,6 +123,24 @@ def read_g2o(
                     info[2, 2], info[0, 2], info[1, 2] = iv[3], iv[4], iv[5]
                     info[1, 0], info[2, 0], info[2, 1] = info[0, 1], info[0, 2], info[1, 2]
                 edges2.append((i, j, np.array([dx, dy, dth]), info))
+            elif tag == "VERTEX3":
+                i = int(parts[1])
+                x, y, z, roll, pitch, yaw = (float(p) for p in parts[2:8])
+                R = _ypr_matrix(yaw, pitch, roll)
+                vertices3[i] = (np.array([x, y, z]), _mat_to_quat(R))
+            elif tag == "EDGE3":
+                # TORO 3D: x y z roll pitch yaw + 21 upper-tri info entries.
+                # The reference reads the info WITHOUT reordering — i.e. it is
+                # interpreted directly in GTSAM (R, t) tangent order
+                # (dataset.cpp:829-840) — replicated here for parity.
+                i, j = int(parts[1]), int(parts[2])
+                vals = [float(p) for p in parts[3:]]
+                x, y, z, roll, pitch, yaw = vals[:6]
+                R = _ypr_matrix(yaw, pitch, roll)
+                info = _sym_from_upper(vals[6:27], 6)
+                edges3.append(
+                    (i, j, np.array([x, y, z]), _mat_to_quat(R), info)
+                )
             elif tag == "EDGE_SE3:QUAT":
                 i, j = int(parts[1]), int(parts[2])
                 vals = [float(p) for p in parts[3:]]
@@ -92,6 +160,10 @@ def read_g2o(
     values = Values()
 
     if is3D or vertices3 or edges3:
+        if not vertices3 and edges3:
+            # vertex-less TORO file (e.g. sphere2500): bootstrap the initial
+            # trajectory by composing odometry, as the reference harnesses do.
+            vertices3 = initialize_from_odometry(edges3)
         for i in sorted(vertices3.keys()):
             t, q = vertices3[i]
             R = np.asarray(so3.from_quaternion(jnp.asarray(q, dtype=dtype)))

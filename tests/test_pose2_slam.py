@@ -118,19 +118,23 @@ def test_noisy_toy_graph_golden_parity():
     )
     res = gauss_newton(graph, values, OptimizerParams(max_iterations=100))
 
-    golden_path = dataset.find_example_data("optimizedNoisyToyGraph.txt")
+    # Golden regenerated with the locally-built reference (Release, default
+    # flags): tests/data/ref_noisyToyGraph_optimized.g2o; its reported errors
+    # were initial=0.391637509949 final=0.0685034664998.
+    np.testing.assert_allclose(float(graph.error(values)), 0.391637509949, atol=1e-9)
+    assert abs(float(graph.error(res.values)) - 0.0685034664998) < 1e-5
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "data", "ref_noisyToyGraph_optimized.g2o"
+    )
     _g, golden = dataset.read_g2o(golden_path)
-    # TODO(tighten): the shipped golden file was generated with an unknown
-    # historical build config; regenerate with the locally-built reference and
-    # assert at 1e-5. Until then require agreement at coarse tolerance plus a
-    # comparable converged cost.
-    assert float(graph.error(res.values)) < float(graph.error(golden)) * 1.05
     for k in range(4):
         got = np.asarray(res.values.at(k))
         want = np.asarray(golden.at(k))
-        np.testing.assert_allclose(got[:2], want[:2], atol=1e-2)
+        np.testing.assert_allclose(got[:2], want[:2], atol=1e-4)
         dth = np.arctan2(np.sin(got[2] - want[2]), np.cos(got[2] - want[2]))
-        assert abs(dth) < 1e-2, (k, got, want)
+        assert abs(dth) < 1e-4, (k, got, want)
 
 
 def test_error_matches_reference_convention():
