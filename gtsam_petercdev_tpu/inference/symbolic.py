@@ -1,0 +1,327 @@
+"""Symbolic elimination planning (host-side, numpy).
+
+The reference's inference layer builds, per solve: VariableIndex ->
+fill-reducing Ordering (COLAMD, inference/Ordering.cpp:42) ->
+EliminationTree (EliminationTree-inst.h:78) -> JunctionTree supernode merge
+(JunctionTree-inst.h:102-120) -> parallel post-order clique elimination
+(ClusterTree-inst.h:286).
+
+The TPU-native inversion: ALL of that irregular work happens here on host,
+ONCE per graph structure, producing a static `EliminationPlan` of padded,
+shape-bucketed clique batches plus flat scatter/gather index maps. The device
+then executes the plan as a fixed sequence of batched dense kernels
+(inference/elimination.py) with no host round-trips.
+
+v1 scope: one uniform variable type (block dim d). Mixed-dim problems (BA)
+reduce to this via Schur complement pre-elimination of landmarks (sfm/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# ordering
+# ---------------------------------------------------------------------------
+
+
+def colamd_ordering(n: int, edges: np.ndarray) -> np.ndarray:
+    """Fill-reducing ordering via SuperLU's COLAMD on the H pattern.
+
+    Returns perm: position -> original var id (like the reference's
+    Ordering, inference/Ordering.cpp:42 — COLAMD on the variable index).
+    Falls back to natural order for tiny problems.
+    """
+    if n <= 2 or len(edges) == 0:
+        return np.arange(n, dtype=np.int64)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    i = np.concatenate([edges[:, 0], edges[:, 1], np.arange(n)])
+    j = np.concatenate([edges[:, 1], edges[:, 0], np.arange(n)])
+    data = np.ones(len(i))
+    H = sp.csc_matrix((data, (i, j)), shape=(n, n))
+    # Diagonal-dominant values so SuperLU does no numerical row pivoting and
+    # the column ordering reflects pure structure.
+    H = H + sp.eye(n) * (H.sum(axis=0).max() + n)
+    try:
+        lu = spla.splu(
+            H.tocsc(),
+            permc_spec="COLAMD",
+            options=dict(SymmetricMode=True),
+            diag_pivot_thresh=0.0,
+        )
+        return np.asarray(lu.perm_c, dtype=np.int64)
+    except Exception:
+        return np.arange(n, dtype=np.int64)
+
+
+def constrained_colamd_ordering(
+    n: int, edges: np.ndarray, last: np.ndarray
+) -> np.ndarray:
+    """ColamdConstrainedLast (Ordering.cpp:128): force `last` vars to the end
+    of the ordering (iSAM2's mechanism for keeping new vars near the root)."""
+    perm = colamd_ordering(n, edges)
+    last_set = set(int(v) for v in last)
+    head = [v for v in perm if v not in last_set]
+    tail = [v for v in perm if v in last_set]
+    return np.asarray(head + tail, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# plan structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bucket:
+    """One shape class of cliques within a level."""
+
+    nf: int  # padded frontal var count (blocks)
+    ns: int  # padded separator var count (blocks)
+    cliques: List[int]  # clique ids
+    # flat offsets of each clique's frontal matrix in F_flat
+    base: np.ndarray = None  # [B] int64
+    vec_base: np.ndarray = None  # [B] offsets in g_flat
+
+    @property
+    def m(self):
+        return self.nf + self.ns
+
+
+@dataclass
+class Clique:
+    cid: int
+    frontal: List[int]  # ordered var ids (permuted space), real only
+    separator: List[int]  # sorted var ids (permuted space), real only
+    parent: int = -1
+    level: int = 0
+    bucket: Tuple[int, int] = None  # (nf_pad, ns_pad)
+
+
+@dataclass
+class EliminationPlan:
+    n: int  # number of variables
+    d: int  # block dim
+    perm: np.ndarray  # position -> var id (original row space)
+    iperm: np.ndarray  # var id -> position
+    cliques: List[Clique] = field(default_factory=list)
+    levels: List[List[Bucket]] = field(default_factory=list)  # ascending
+    F_size: int = 0  # total flat frontal entries (+1 trash)
+    g_size: int = 0  # total flat rhs entries (+1 trash)
+    var_clique: np.ndarray = None  # var (permuted) -> clique id
+    var_pos: np.ndarray = None  # var (permuted) -> position in owning frontal
+    # extend-add maps computed lazily by the numeric layer
+    clique_of: Dict[int, Clique] = field(default_factory=dict)
+
+    def frontal_base(self, cid: int) -> int:
+        return self._base[cid]
+
+    def stats(self) -> Dict:
+        nf = [len(c.frontal) for c in self.cliques]
+        ns = [len(c.separator) for c in self.cliques]
+        return dict(
+            n_cliques=len(self.cliques),
+            n_levels=len(self.levels),
+            max_front=max(nf) if nf else 0,
+            max_sep=max(ns) if ns else 0,
+            F_entries=self.F_size,
+        )
+
+
+_PAD_SIZES = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512]
+
+
+def _pad_to_class(x: int) -> int:
+    for p in _PAD_SIZES:
+        if x <= p:
+            return p
+    return ((x + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# symbolic elimination
+# ---------------------------------------------------------------------------
+
+
+def symbolic_eliminate(
+    n: int,
+    factor_vars: List[np.ndarray],
+    d: int,
+    ordering: Optional[np.ndarray] = None,
+    merge_threshold: float = 0.25,
+    max_supernode: int = 32,
+) -> EliminationPlan:
+    """Build the elimination plan.
+
+    factor_vars: list of [N, K] int arrays of variable ids per factor batch.
+    """
+    # --- edges & ordering ---
+    edge_list = []
+    for fv in factor_vars:
+        K = fv.shape[1]
+        for a in range(K):
+            for b in range(a + 1, K):
+                edge_list.append(np.stack([fv[:, a], fv[:, b]], axis=1))
+    edges = (
+        np.concatenate(edge_list, axis=0) if edge_list else np.zeros((0, 2), np.int64)
+    )
+    if ordering is None:
+        ordering = colamd_ordering(n, edges)
+    perm = np.asarray(ordering, dtype=np.int64)
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+
+    # --- adjacency in permuted space (higher neighbors only) ---
+    adj_high: List[set] = [set() for _ in range(n)]
+    for (a, b) in edges:
+        pa, pb = int(iperm[a]), int(iperm[b])
+        if pa == pb:
+            continue
+        lo, hi = (pa, pb) if pa < pb else (pb, pa)
+        adj_high[lo].add(hi)
+
+    # --- exact symbolic elimination via etree child-structure union
+    #     (EliminationTree-inst.h:78 equivalent) ---
+    struct: List[List[int]] = [None] * n
+    parent = np.full(n, -1, dtype=np.int64)
+    pending_children: List[List[int]] = [[] for _ in range(n)]
+    for v in range(n):
+        s = set(adj_high[v])
+        for c in pending_children[v]:
+            s.update(struct[c])
+        s.discard(v)
+        s = {u for u in s if u > v}
+        struct[v] = sorted(s)
+        if s:
+            p = min(s)
+            parent[v] = p
+            pending_children[p].append(v)
+
+    # --- supernode amalgamation (JunctionTree-inst.h:102-120 analog) ---
+    # fundamental: v merges into the supernode of parent(v) when struct(v) =
+    # {next} + struct(next); relaxed: allow padding waste below threshold.
+    cliques: List[Clique] = []
+    var_clique = np.full(n, -1, dtype=np.int64)
+    cur: Optional[Clique] = None
+    for v in range(n):
+        merge = False
+        if cur is not None and parent[v - 1] == v and len(cur.frontal) < max_supernode:
+            s_prev = struct[v - 1]
+            s_v = struct[v]
+            # fundamental supernode test
+            if len(s_prev) == len(s_v) + 1 and s_prev[0] == v and s_prev[1:] == s_v:
+                merge = True
+            else:
+                # relaxed: extra fill introduced by merging, as a fraction
+                prev_sep = set(s_prev) - {v}
+                union = prev_sep | set(s_v)
+                extra = (len(union) - len(s_v)) + (len(union) - len(prev_sep))
+                denom = max(1, len(union))
+                if extra / denom <= merge_threshold:
+                    merge = True
+        if merge:
+            cur.frontal.append(v)
+        else:
+            cur = Clique(cid=len(cliques), frontal=[v], separator=[])
+            cliques.append(cur)
+        var_clique[v] = cur.cid
+
+    for c in cliques:
+        fset = set(c.frontal)
+        sep = set()
+        for v in c.frontal:
+            sep.update(struct[v])
+        c.separator = sorted(sep - fset)
+
+    # --- clique tree: parent = clique owning min(separator) ---
+    for c in cliques:
+        c.parent = int(var_clique[c.separator[0]]) if c.separator else -1
+
+    # --- levels (height from leaves) ---
+    children: List[List[int]] = [[] for _ in cliques]
+    for c in cliques:
+        if c.parent >= 0:
+            children[c.parent].append(c.cid)
+    # process in cid order: children always have smaller min-var? Not
+    # guaranteed for level calc; do a proper pass.
+    level = np.zeros(len(cliques), dtype=np.int64)
+    # topological: a clique's children have smaller cid (their min frontal var
+    # is eliminated earlier, and parent owns a later var), so ascending cid
+    # order is a valid bottom-up traversal.
+    for c in cliques:
+        for ch in children[c.cid]:
+            assert ch < c.cid
+    for cid in range(len(cliques)):
+        if children[cid]:
+            level[cid] = 1 + max(level[ch] for ch in children[cid])
+    for c in cliques:
+        c.level = int(level[c.cid])
+
+    # --- buckets per level ---
+    n_levels = int(level.max()) + 1 if len(cliques) else 0
+    levels: List[List[Bucket]] = []
+    for lv in range(n_levels):
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for c in cliques:
+            if c.level != lv:
+                continue
+            key = (_pad_to_class(len(c.frontal)), _pad_to_class(len(c.separator)) if c.separator else 0)
+            groups.setdefault(key, []).append(c.cid)
+            c.bucket = key
+        levels.append(
+            [Bucket(nf=k[0], ns=k[1], cliques=v) for k, v in sorted(groups.items())]
+        )
+
+    # --- flat offsets ---
+    F_off = 0
+    g_off = 0
+    base = np.zeros(len(cliques), dtype=np.int64)
+    vec_base = np.zeros(len(cliques), dtype=np.int64)
+    for lv in levels:
+        for bk in lv:
+            m = bk.m * d
+            bk.base = np.zeros(len(bk.cliques), dtype=np.int64)
+            bk.vec_base = np.zeros(len(bk.cliques), dtype=np.int64)
+            for i, cid in enumerate(bk.cliques):
+                bk.base[i] = F_off
+                bk.vec_base[i] = g_off
+                base[cid] = F_off
+                vec_base[cid] = g_off
+                F_off += m * m
+                g_off += m
+
+    # --- var -> (clique, position) ---
+    var_pos = np.full(n, -1, dtype=np.int64)
+    for c in cliques:
+        for i, v in enumerate(c.frontal):
+            var_pos[v] = i
+
+    plan = EliminationPlan(
+        n=n,
+        d=d,
+        perm=perm,
+        iperm=iperm,
+        cliques=cliques,
+        levels=levels,
+        F_size=F_off + 1,  # +1 trash entry
+        g_size=g_off + 1,
+        var_clique=var_clique,
+        var_pos=var_pos,
+    )
+    plan._base = base
+    plan._vec_base = vec_base
+    plan._children = children
+    return plan
+
+
+def clique_slot(plan: EliminationPlan, c: Clique, v: int) -> int:
+    """Position (block index) of permuted var v inside clique c's frontal."""
+    try:
+        return c.frontal.index(v)
+    except ValueError:
+        return len(c.frontal) + c.separator.index(v)
