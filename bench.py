@@ -43,28 +43,32 @@ def main():
     from gtsam_petercdev_tpu.slam.factors import prior_factor
     from gtsam_petercdev_tpu.utils import dataset
 
+    from gtsam_petercdev_tpu.geometry import pose3
+    from gtsam_petercdev_tpu.inference import elimination
+
     path = dataset.find_example_data("sphere2500.txt")
     graph, values = dataset.read_g2o(path, is3D=True, dtype=np.float32)
     graph.add(
         prior_factor("Pose3"),
         [0],
-        values.at(0),
-        noise.diagonal_precisions(jnp.full((6,), 1e4, dtype=jnp.float32)),
+        pose3.identity(jnp.float32),
+        noise.diagonal_precisions(jnp.asarray([1e6] * 3 + [1e4] * 3, dtype=jnp.float32)),
     )
     graph._materialize()
+
+    # host planning once (supernodal multifrontal; ND ordering)
+    lg0 = graph.linearize(values)
+    plan = elimination.build_plan_for_graph(
+        [(lb.rows, "Pose3") for lb in lg0.batches], len(values), 6
+    )
+    maps = elimination.build_numeric_maps(plan, lg0)
 
     @jax.jit
     def gn_step(values_in):
         lg = graph.linearize(values_in)
-        H, g = linsolve.assemble_dense(lg)
-        x = linsolve.dense_solve(H, g, 1e-5)
-        delta = {}
-        start = 0
-        for t in sorted(lg.type_counts.keys()):
-            n, dim = lg.type_counts[t], manifold.get(t).dim
-            delta[t] = x[start : start + n * dim].reshape(n, dim)
-            start += n * dim
-        return values_in.retract(delta)
+        Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+        x = elimination.multifrontal_solve(maps, Ab, 1e-5)
+        return values_in.retract({"Pose3": x})
 
     # warmup / compile
     t0 = time.perf_counter()

@@ -60,6 +60,83 @@ def colamd_ordering(n: int, edges: np.ndarray) -> np.ndarray:
         return np.arange(n, dtype=np.int64)
 
 
+def nested_dissection_ordering(
+    n: int, edges: np.ndarray, leaf_size: int = 16
+) -> np.ndarray:
+    """Recursive BFS-bisection nested dissection.
+
+    The analog of the reference's METIS ordering (inference/Ordering.cpp:211,
+    gtsam_unstable/partition/NestedDissection.h) without METIS: split each
+    subgraph by BFS distance from a pseudo-peripheral seed, order both halves
+    recursively, then the separator LAST. Produces balanced elimination trees
+    (log depth) — exactly what the level-batched supernodal kernels want —
+    with small separators on SLAM-style graphs.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse import csgraph
+
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    i = np.concatenate([edges[:, 0], edges[:, 1]])
+    j = np.concatenate([edges[:, 1], edges[:, 0]])
+    A = sp.csr_matrix((np.ones(len(i)), (i, j)), shape=(n, n))
+    A.sum_duplicates()
+
+    order: List[int] = []
+
+    def recurse(nodes: np.ndarray):
+        if len(nodes) <= leaf_size:
+            order.extend(nodes.tolist())
+            return
+        sub = A[nodes][:, nodes]
+        nsub = len(nodes)
+        # connected components first — recurse each separately
+        ncomp, labels = csgraph.connected_components(sub, directed=False)
+        if ncomp > 1:
+            for c in range(ncomp):
+                recurse(nodes[labels == c])
+            return
+        # pseudo-peripheral pair via double BFS
+        d0 = csgraph.breadth_first_order(sub, 0, directed=False, return_predecessors=False)
+        far = d0[-1]
+        dist = sp.csgraph.dijkstra(sub, directed=False, unweighted=True, indices=far)
+        med = np.median(dist)
+        maskA = dist <= med
+        if maskA.all() or not maskA.any():
+            half = nsub // 2
+            sortd = np.argsort(dist, kind="stable")
+            maskA = np.zeros(nsub, dtype=bool)
+            maskA[sortd[:half]] = True
+        # separator: nodes of A adjacent to B
+        B_ind = np.where(~maskA)[0]
+        nbrs_of_B = np.unique(sub[B_ind].indices)
+        sep_mask = np.zeros(nsub, dtype=bool)
+        sep_mask[nbrs_of_B] = True
+        sep_mask &= maskA
+        A_mask = maskA & ~sep_mask
+        recurse(nodes[A_mask])
+        recurse(nodes[~maskA])
+        order.extend(nodes[sep_mask].tolist())
+
+    recurse(np.arange(n, dtype=np.int64))
+    perm = np.asarray(order, dtype=np.int64)
+    assert len(perm) == n
+    return perm
+
+
+def best_ordering(n: int, edges: np.ndarray) -> np.ndarray:
+    """Pick the ordering with the least (padded) symbolic fill — the planner
+    is cheap relative to the numeric solve, so try both ND and COLAMD."""
+    candidates = [nested_dissection_ordering(n, edges), colamd_ordering(n, edges)]
+    best, best_cost = None, None
+    for perm in candidates:
+        plan = symbolic_eliminate(n, [edges], 1, ordering=perm)
+        cost = plan.F_size
+        if best_cost is None or cost < best_cost:
+            best, best_cost = perm, cost
+    return best
+
+
 def constrained_colamd_ordering(
     n: int, edges: np.ndarray, last: np.ndarray
 ) -> np.ndarray:
@@ -171,7 +248,7 @@ def symbolic_eliminate(
         np.concatenate(edge_list, axis=0) if edge_list else np.zeros((0, 2), np.int64)
     )
     if ordering is None:
-        ordering = colamd_ordering(n, edges)
+        ordering = best_ordering(n, edges)
     perm = np.asarray(ordering, dtype=np.int64)
     iperm = np.empty(n, dtype=np.int64)
     iperm[perm] = np.arange(n)
