@@ -146,6 +146,16 @@ def _build_fns(graph: NonlinearFactorGraph, params: OptimizerParams):
                 cache=cache,
             )
 
+    elif params.solver == "schur":
+        from gtsam_petercdev_tpu.sfm import schur
+
+        def solve(values, lam, cache):
+            return schur.solve_linearized(
+                graph, values, lam,
+                diagonal_damping=getattr(params, "diagonal_damping", False),
+                cache=cache,
+            )
+
     else:
         raise ValueError(f"unknown solver {params.solver}")
 

@@ -94,3 +94,35 @@ def test_ba_converges():
     # 40 iterations gets within the same basin
     assert res.error < 0.1
     assert res.error < e0 * 1e-4
+
+
+def test_schur_solver_matches_dense():
+    """Landmark-eliminated Schur solve == full dense solve (same damped
+    normal equations) — the CameraSet::SchurComplement equivalence."""
+    from gtsam_petercdev_tpu.linear import solve as linsolve
+    from gtsam_petercdev_tpu.sfm import schur
+
+    data = read_bal(BAL_FILE)
+    graph, values = build_ba_graph(data)
+    lg = graph.linearize(values)
+    H, g = linsolve.assemble_dense(lg)
+    for lam, dd in ((1e-3, False), (0.5, True)):
+        x = linsolve.dense_solve(H, g, lam, diagonal_damping=dd)
+        want = linsolve.unflatten_delta(lg, x)
+        plan = schur.build_schur_plan(lg)
+        rows_static = tuple(tuple(np.asarray(r) for r in lb.rows) for lb in lg.batches)
+        Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+        got = schur.schur_solve(plan, rows_static, Ab, lam, diagonal_damping=dd)
+        for t in want:
+            np.testing.assert_allclose(
+                np.asarray(got[t]), np.asarray(want[t]), atol=1e-7
+            )
+
+
+def test_lm_with_schur_solver():
+    data = read_bal(BAL_FILE)
+    graph, values = build_ba_graph(data)
+    from gtsam_petercdev_tpu.nonlinear.optimizers import levenberg_marquardt
+
+    res = levenberg_marquardt(graph, values, LMParams(max_iterations=25, solver="schur"))
+    assert res.error < 0.5
