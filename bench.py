@@ -56,12 +56,13 @@ def main():
     )
     graph._materialize()
 
-    # host planning once (supernodal multifrontal; ND ordering)
-    lg0 = graph.linearize(values)
+    # host planning once (supernodal multifrontal; ND ordering) — pure host
+    # work, no device ops (eager ops are remote round-trips under axon)
+    structure = elimination.graph_structure(graph, values)
     plan = elimination.build_plan_for_graph(
-        [(lb.rows, "Pose3") for lb in lg0.batches], len(values), 6
+        [(rows, t[0]) for (t, rows) in structure], len(values), 6
     )
-    maps = elimination.build_numeric_maps(plan, lg0)
+    maps = elimination.build_numeric_maps(plan, structure)
 
     @jax.jit
     def gn_step(values_in):

@@ -77,7 +77,25 @@ def build_plan_for_graph(
     return symbolic_eliminate(n_vars, factor_vars, d, ordering=ordering)
 
 
-def build_numeric_maps(plan: EliminationPlan, lg: LinearizedGraph) -> NumericMaps:
+def graph_structure(graph, values):
+    """Host-only structure extraction: per batch (var_types, rows) — no
+    device work (critical: eager ops are remote round-trips on TPU)."""
+    graph._materialize()
+    out = []
+    for batch in graph.batches:
+        rows = tuple(
+            values.rows(batch.keys[:, k], t)
+            for k, t in enumerate(batch.ftype.var_types)
+        )
+        out.append((batch.ftype.var_types, rows))
+    return out
+
+
+def build_numeric_maps(plan: EliminationPlan, structure) -> NumericMaps:
+    """structure: list of (var_types, rows-tuple) per batch — host data only
+    (a LinearizedGraph also works via its .batches attributes)."""
+    if hasattr(structure, "batches"):
+        structure = [(lb.var_types, lb.rows) for lb in structure.batches]
     d = plan.d
     iperm = plan.iperm
     cliques = plan.cliques
@@ -102,9 +120,9 @@ def build_numeric_maps(plan: EliminationPlan, lg: LinearizedGraph) -> NumericMap
     fac_F_idx = []
     fac_g_idx = []
     slot_rows = []
-    for bi, lb in enumerate(lg.batches):
-        K = len(lb.var_types)
-        rows = [np.asarray(r, dtype=np.int64) for r in lb.rows]
+    for bi, (var_types, brows) in enumerate(structure):
+        K = len(var_types)
+        rows = [np.asarray(r, dtype=np.int64) for r in brows]
         pvs = [iperm[r] for r in rows]  # permuted var ids [N]
         minpv = np.minimum.reduce(pvs) if K > 1 else pvs[0]
         own = plan.var_clique[minpv]  # clique id per factor [N]
