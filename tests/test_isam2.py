@@ -1,0 +1,99 @@
+"""ISAM2 tests: incremental-vs-batch equivalence (the reference's own core
+correctness strategy, tests/testGaussianISAM2.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gtsam_petercdev_tpu.geometry import pose2
+from gtsam_petercdev_tpu.linear import noise
+from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
+from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+from gtsam_petercdev_tpu.nonlinear.optimizers import OptimizerParams, gauss_newton
+from gtsam_petercdev_tpu.nonlinear.values import Values
+from gtsam_petercdev_tpu.slam.factors import between_factor, prior_factor
+
+
+def _sim_trajectory(n, rng):
+    """Odometry chain with loop closures every 7 steps."""
+    gt = [jnp.zeros(3, dtype=jnp.float64)]
+    odo = []
+    for i in range(1, n):
+        xi = jnp.asarray([1.0, 0.0, rng.normal() * 0.3])
+        gt.append(pose2.compose(gt[-1], xi))
+        odo.append(pose2.between(gt[i - 1], gt[i]))
+    return gt, odo
+
+
+def test_incremental_matches_batch(rng):
+    n = 25
+    gt, odo = _sim_trajectory(n, rng)
+    prior_n = noise.isotropic(3, 0.05, jnp.float64)
+    odo_n = noise.isotropic(3, 0.1, jnp.float64)
+
+    isam = ISAM2(ISAM2Params(relinearize_threshold=0.01, relinearize_skip=1))
+    full_graph = NonlinearFactorGraph()
+    full_values = Values()
+
+    for i in range(n):
+        nf = NonlinearFactorGraph()
+        nv = Values()
+        if i == 0:
+            nv.insert(0, "Pose2", gt[0])
+            nf.add(prior_factor("Pose2"), [0], gt[0], prior_n)
+            full_values.insert(0, "Pose2", gt[0])
+            full_graph.add(prior_factor("Pose2"), [0], gt[0], prior_n)
+        else:
+            guess = pose2.compose(
+                isam.calculate_estimate().at(i - 1),
+                pose2.compose(odo[i - 1], jnp.asarray(rng.normal(size=3) * 0.05)),
+            )
+            nv.insert(i, "Pose2", guess)
+            nf.add(between_factor("Pose2"), [i - 1, i], odo[i - 1], odo_n)
+            full_values.insert(i, "Pose2", guess)
+            full_graph.add(between_factor("Pose2"), [i - 1, i], odo[i - 1], odo_n)
+            if i % 7 == 0 and i >= 7:
+                loop_m = pose2.between(gt[i - 7], gt[i])
+                nf.add(between_factor("Pose2"), [i - 7, i], loop_m, odo_n)
+                full_graph.add(between_factor("Pose2"), [i - 7, i], loop_m, odo_n)
+        isam.update(nf, nv)
+
+    # a few empty updates let iSAM2 relinearize to convergence (the reference
+    # has the same property: per-step estimates track, equality holds at the
+    # fixed point)
+    for _ in range(5):
+        isam.update()
+    est = isam.calculate_estimate()
+    # batch: optimize the same graph from the same initial guesses
+    batch = gauss_newton(full_graph, full_values, OptimizerParams(max_iterations=50))
+    for i in range(n):
+        a = np.asarray(est.at(i))
+        b = np.asarray(batch.values.at(i))
+        np.testing.assert_allclose(a[:2], b[:2], atol=1e-4)
+        dth = np.arctan2(np.sin(a[2] - b[2]), np.cos(a[2] - b[2]))
+        assert abs(dth) < 1e-4
+
+
+def test_isam2_error_decreases(rng):
+    gt, odo = _sim_trajectory(10, rng)
+    isam = ISAM2(ISAM2Params(relinearize_threshold=0.001, relinearize_skip=1))
+    nf = NonlinearFactorGraph()
+    nv = Values()
+    nv.insert(0, "Pose2", gt[0])
+    nf.add(prior_factor("Pose2"), [0], gt[0], noise.isotropic(3, 0.1, jnp.float64))
+    isam.update(nf, nv)
+    for i in range(1, 10):
+        nf = NonlinearFactorGraph()
+        nv = Values()
+        nv.insert(
+            i, "Pose2", pose2.compose(gt[i], jnp.asarray(rng.normal(size=3) * 0.2))
+        )
+        nf.add(
+            between_factor("Pose2"),
+            [i - 1, i],
+            odo[i - 1],
+            noise.isotropic(3, 0.1, jnp.float64),
+        )
+        isam.update(nf, nv)
+    for _ in range(4):
+        isam.update()  # relinearize to the fixed point
+    assert isam.error() < 1e-6
