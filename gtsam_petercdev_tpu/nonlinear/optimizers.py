@@ -54,6 +54,13 @@ class LMParams(OptimizerParams):
 
 
 @dataclass
+class DoglegParams(OptimizerParams):
+    delta_initial: float = 1.0  # trust-region radius Delta0
+    delta_min: float = 1e-7
+    verbose_dl: bool = False
+
+
+@dataclass
 class OptimizerResult:
     values: Values
     error: float
@@ -249,4 +256,156 @@ def levenberg_marquardt(
             converged = True
             break
         err = new_err
+    return OptimizerResult(values, err, it, converged, history)
+
+
+def dogleg(
+    graph: NonlinearFactorGraph, values: Values, params: Optional[DoglegParams] = None
+) -> OptimizerResult:
+    """Powell's dogleg trust-region method.
+
+    Mirrors DoglegOptimizerImpl::Iterate/ComputeDoglegPoint
+    (gtsam/nonlinear/DoglegOptimizerImpl.h:1-255): blend the Gauss-Newton
+    point with the steepest-descent Cauchy point inside a trust radius Delta;
+    adapt Delta from the model-fidelity ratio rho (>=0.75 grow, <0.25 shrink).
+    One jitted device function computes (H, g); a second computes the blended
+    step + predicted decrease for a given Delta, so retries at shrunk Delta
+    reuse the linearization.
+    """
+    params = params or DoglegParams()
+    graph._materialize()
+
+    @jax.jit
+    def err_fn(values_in: Values):
+        return graph.error(values_in)
+
+    @jax.jit
+    def retract_fn(values_in: Values, delta):
+        return values_in.retract(delta)
+
+    @jax.jit
+    def assemble_fn(values_in: Values):
+        lg = graph.linearize(values_in)
+        return linsolve.assemble_dense(lg)
+
+    @jax.jit
+    def dogleg_step(H, g, delta_radius):
+        dx_n = linsolve.dense_solve(H, g, 1e-10)  # Gauss-Newton point
+        Hg = H @ g
+        alpha = jnp.dot(g, g) / jnp.maximum(jnp.dot(g, Hg), 1e-30)
+        dx_u = alpha * g  # Cauchy (steepest-descent) point
+        n_n = jnp.linalg.norm(dx_n)
+        n_u = jnp.linalg.norm(dx_u)
+
+        # tau solving ||dx_u + tau (dx_n - dx_u)|| = Delta (ComputeBlend)
+        d = dx_n - dx_u
+        a = jnp.dot(d, d)
+        b = 2.0 * jnp.dot(dx_u, d)
+        c = jnp.dot(dx_u, dx_u) - delta_radius**2
+        disc = jnp.sqrt(jnp.maximum(b * b - 4 * a * c, 0.0))
+        tau = (-b + disc) / jnp.maximum(2 * a, 1e-30)
+        blended = dx_u + jnp.clip(tau, 0.0, 1.0) * d
+
+        dx = jnp.where(
+            n_n <= delta_radius,
+            dx_n,
+            jnp.where(n_u >= delta_radius, (delta_radius / jnp.maximum(n_u, 1e-30)) * dx_u, blended),
+        )
+        lin_decrease = jnp.dot(g, dx) - 0.5 * jnp.dot(dx, H @ dx)
+        return dx, lin_decrease, jnp.linalg.norm(dx)
+
+    err = float(err_fn(values))
+    history = [err]
+    radius = params.delta_initial
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        cache_counts = _type_counts(values)
+        H, g = assemble_fn(values)
+        accepted = False
+        while radius >= params.delta_min:
+            dx, lin_dec, dx_norm = dogleg_step(H, g, jnp.asarray(radius, dtype=H.dtype))
+            delta = _unflatten(cache_counts, dx)
+            new_values = retract_fn(values, delta)
+            new_err = float(err_fn(new_values))
+            rho = (err - new_err) / max(float(lin_dec), 1e-30)
+            if params.verbose:
+                print(f"DL iter {it} Delta={radius:.2e}: {err:.6e} -> {new_err:.6e} rho={rho:.3f}")
+            if rho >= 0.75:
+                radius = max(radius, 3.0 * float(dx_norm))
+            elif rho < 0.25:
+                radius *= 0.5
+            if new_err < err:
+                values = new_values
+                accepted = True
+                break
+        if not accepted:
+            converged = True
+            break
+        history.append(new_err)
+        if check_convergence(params, err, new_err):
+            err = new_err
+            converged = True
+            break
+        err = new_err
+    return OptimizerResult(values, err, it, converged, history)
+
+
+def nonlinear_conjugate_gradient(
+    graph: NonlinearFactorGraph, values: Values, params: Optional[OptimizerParams] = None
+) -> OptimizerResult:
+    """Manifold nonlinear CG with Fletcher-Reeves beta + backtracking line
+    search (gtsam/nonlinear/NonlinearConjugateGradientOptimizer.cpp)."""
+    params = params or OptimizerParams()
+    graph._materialize()
+
+    @jax.jit
+    def err_fn(values_in: Values):
+        return graph.error(values_in)
+
+    @jax.jit
+    def retract_fn(values_in: Values, delta):
+        return values_in.retract(delta)
+
+    @jax.jit
+    def grad_fn(values_in: Values):
+        lg = graph.linearize(values_in)
+        return linsolve.gradient(lg)  # NEGATIVE gradient direction (J^T b)
+
+    def dot(a, b):
+        return sum(float(jnp.vdot(a[t], b[t])) for t in a)
+
+    err = float(err_fn(values))
+    history = [err]
+    g = grad_fn(values)
+    d = g
+    gg = dot(g, g)
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        # backtracking line search along d
+        step = 1.0
+        accepted = False
+        for _ in range(30):
+            new_values = retract_fn(values, {t: step * d[t] for t in d})
+            new_err = float(err_fn(new_values))
+            if new_err < err:
+                accepted = True
+                break
+            step *= 0.5
+        if not accepted:
+            converged = True
+            break
+        values = new_values
+        history.append(new_err)
+        if check_convergence(params, err, new_err):
+            err = new_err
+            converged = True
+            break
+        err = new_err
+        g_new = grad_fn(values)
+        gg_new = dot(g_new, g_new)
+        beta = gg_new / max(gg, 1e-30)  # Fletcher-Reeves
+        d = {t: g_new[t] + beta * d[t] for t in d}
+        g, gg = g_new, gg_new
     return OptimizerResult(values, err, it, converged, history)

@@ -1,0 +1,284 @@
+"""Smart projection factors: structureless bundle adjustment.
+
+Reference: gtsam/slam/SmartFactorBase.h:51-309 (stacked F, E, b per track),
+SmartProjectionFactor.h:44-332 (on-demand triangulateSafe + linearize),
+geometry/CameraSet.h:175-241 (SchurComplement building the m*6+1 reduced
+camera Hessian per landmark).
+
+TPU-native design: ALL tracks share one fixed max-views M with a validity
+mask, so triangulation, Jacobians, and the per-track Schur complement are one
+`vmap` each. Degenerate / behind-camera / outlier tracks are zero-weighted
+(the jit-safe analog of the reference's degeneracy modes,
+SmartProjectionFactor.h:128-196) rather than raising.
+
+The linearized output is the reduced camera system contribution:
+  H_cc[(a,b)] += delta_ab F_a^T F_a - W_a P W_b^T      (per track, per view pair)
+  g_c[a]     += F_a^T b_a - W_a P (sum_m E_m^T b_m)
+which `smart_levenberg_marquardt` scatter-adds into the dense camera Hessian
+alongside any regular camera-only factors (priors, between factors).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsam_petercdev_tpu.geometry import cal3, pose3, triangulation
+from gtsam_petercdev_tpu.geometry.pose3 import Pose3
+from gtsam_petercdev_tpu.linear import solve as linsolve
+from gtsam_petercdev_tpu.nonlinear import optimizers
+from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
+from gtsam_petercdev_tpu.nonlinear.values import Values
+
+
+@dataclass(frozen=True)
+class SmartProjectionParams:
+    """slam/SmartFactorParams.h (linearization mode fixed to HESSIAN —
+    the Schur-complement mode; IMPLICIT_SCHUR is served by the matrix-free
+    `hvp` path)."""
+
+    triangulation: triangulation.TriangulationParameters = (
+        triangulation.TriangulationParameters()
+    )
+    retriangulate: bool = True
+    sigma: float = 1.0  # isotropic pixel noise
+
+
+@dataclass
+class SmartProjectionFactorBatch:
+    """T tracks, each observed by up to M cameras (masked).
+
+    cam_rows: [T, M] int32 rows into the camera type batch
+    mask:     [T, M] bool — view validity
+    measured: [T, M, 2] pixel measurements
+    cal:      shared Cal3_S2 vector [5]
+    """
+
+    cam_rows: np.ndarray
+    mask: np.ndarray
+    measured: jnp.ndarray
+    cal: jnp.ndarray
+    params: SmartProjectionParams = field(default_factory=SmartProjectionParams)
+
+    @property
+    def n_tracks(self) -> int:
+        return self.cam_rows.shape[0]
+
+    @property
+    def max_views(self) -> int:
+        return self.cam_rows.shape[1]
+
+
+def from_tracks(
+    tracks: List[List[Tuple[int, np.ndarray]]],
+    cal,
+    params: Optional[SmartProjectionParams] = None,
+    dtype=jnp.float64,
+) -> SmartProjectionFactorBatch:
+    """Build a batch from per-track (camera_row, uv) observation lists."""
+    T = len(tracks)
+    M = max(len(t) for t in tracks)
+    cam_rows = np.zeros((T, M), dtype=np.int32)
+    mask = np.zeros((T, M), dtype=bool)
+    measured = np.zeros((T, M, 2))
+    for j, t in enumerate(tracks):
+        for m, (ci, uv) in enumerate(t):
+            cam_rows[j, m] = ci
+            mask[j, m] = True
+            measured[j, m] = np.asarray(uv)
+    return SmartProjectionFactorBatch(
+        cam_rows,
+        mask,
+        jnp.asarray(measured, dtype=dtype),
+        jnp.asarray(cal, dtype=dtype),
+        params or SmartProjectionParams(),
+    )
+
+
+def _track_terms(batch: SmartProjectionFactorBatch, poses: Pose3):
+    """Per-track triangulation + whitened F, E, b stacks (vmapped).
+
+    poses: gathered Pose3 leaves [T, M, ...].
+    Returns (F [T,M,2,6], E [T,M,2,3], b [T,M,2], valid [T]).
+    """
+    cal = batch.cal
+    sigma = batch.params.sigma
+    tri_params = batch.params.triangulation
+
+    def one_track(pose_t: Pose3, uv, m):
+        pn_meas = cal3.cal3_s2_calibrate(cal, uv)  # [M,2] normalized
+        res = triangulation.triangulate_safe(
+            pose_t, pn_meas, m, tri_params, optimize=True
+        )
+        p = res.point
+        valid = res.status == triangulation.VALID
+
+        def view_resid(xi, pose_1: Pose3, point):
+            pr = pose3.retract(pose_1, xi)
+            q = pose3.transform_to(pr, point)
+            z = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
+            pn = q[:2] / z
+            return pn
+
+        def one_view(pose_1: Pose3, uv_1):
+            z6 = jnp.zeros((6,), dtype=uv.dtype)
+            pn = view_resid(z6, pose_1, p)
+            F1 = jax.jacfwd(view_resid, argnums=0)(z6, pose_1, p)  # [2,6]
+            E1 = jax.jacfwd(lambda pt: view_resid(z6, pose_1, pt))(p)  # [2,3]
+            b1 = cal3.cal3_s2_calibrate(cal, uv_1) - pn  # b = -residual
+            return F1, E1, b1
+
+        F, E, b = jax.vmap(one_view)(pose_t, uv)
+        # whiten: normalized-coordinate noise = pixel sigma / focal
+        f_eff = 0.5 * (cal[0] + cal[1])
+        w = (f_eff / sigma) * m.astype(uv.dtype)[:, None]
+        F = F * w[..., None]
+        E = E * w[..., None]
+        b = b * w
+        return F, E, b, valid
+
+    return jax.vmap(one_track)(poses, batch.measured, jnp.asarray(batch.mask))
+
+
+def schur_contributions(batch: SmartProjectionFactorBatch, poses: Pose3, lam=0.0):
+    """Reduced camera-system pieces per track (CameraSet::SchurComplement).
+
+    Returns (Hblocks [T,M,M,6,6], gblocks [T,M,6], total_err scalar).
+    Invalid tracks contribute zero.
+    """
+    F, E, b, valid = _track_terms(batch, poses)
+    dtype = b.dtype
+    vw = valid.astype(dtype)[:, None, None]
+
+    Hpp = jnp.einsum("tmdi,tmdj->tij", E, E)  # [T,3,3]
+    eye3 = jnp.eye(3, dtype=dtype)
+    P = jnp.linalg.inv(Hpp + (1e-9 + lam) * eye3)  # point covariance [T,3,3]
+    W = jnp.einsum("tmdi,tmdj->tmij", F, E)  # [T,M,6,3]
+    gp = jnp.einsum("tmdi,tmd->ti", E, b)  # [T,3]
+
+    Fb = jnp.einsum("tmdi,tmd->tmi", F, b)  # [T,M,6]
+    WPgp = jnp.einsum("tmij,tjk,tk->tmi", W, P, gp)
+    gblocks = (Fb - WPgp) * vw  # [T,M,6]
+
+    FtF = jnp.einsum("tmdi,tmdj->tmij", F, F)  # diag blocks [T,M,6,6]
+    WPWt = jnp.einsum("taij,tjk,tblk->tabil", W, P, W)  # [T,M,M,6,6]
+    M_ = batch.max_views
+    diag = jnp.einsum("ab,taij->tabij", jnp.eye(M_, dtype=dtype), FtF)
+    Hblocks = (diag - WPWt) * vw[..., None, None]
+
+    err = 0.5 * jnp.sum((b * valid.astype(dtype)[:, None, None]) ** 2)
+    return Hblocks, gblocks, err
+
+
+def total_error(batch: SmartProjectionFactorBatch, poses: Pose3) -> jnp.ndarray:
+    """Sum of whitened reprojection errors at the triangulated points
+    (SmartProjectionFactor::totalReprojectionError)."""
+    _, _, b, valid = _track_terms(batch, poses)
+    return 0.5 * jnp.sum((b * valid.astype(b.dtype)[:, None, None]) ** 2)
+
+
+def assemble_camera_system(
+    batch: SmartProjectionFactorBatch,
+    poses: Pose3,
+    n_cams: int,
+    lam=0.0,
+):
+    """Scatter track contributions into the dense camera (H, g)."""
+    Hb, gb, err = schur_contributions(batch, poses, 0.0)
+    dtype = gb.dtype
+    D = n_cams * 6
+    H = jnp.zeros((D, D), dtype=dtype)
+    g = jnp.zeros((D,), dtype=dtype)
+    rows = jnp.asarray(batch.cam_rows, dtype=jnp.int32)
+    gidx = rows[..., None] * 6 + jnp.arange(6, dtype=jnp.int32)  # [T,M,6]
+    g = g.at[gidx].add(gb)
+    ga = gidx[:, :, None, :, None]  # [T,M,1,6,1]
+    gb2 = gidx[:, None, :, None, :]  # [T,1,M,1,6]
+    H = H.at[
+        jnp.broadcast_to(ga, Hb.shape), jnp.broadcast_to(gb2, Hb.shape)
+    ].add(Hb)
+    return H, g, err
+
+
+def smart_levenberg_marquardt(
+    graph: NonlinearFactorGraph,
+    smart: SmartProjectionFactorBatch,
+    values: Values,
+    params: Optional[optimizers.LMParams] = None,
+    cam_type: str = "Pose3",
+) -> optimizers.OptimizerResult:
+    """LM over camera poses only: regular factors + smart-factor Schur system.
+
+    Mirrors the SFMExample_SmartFactor pipeline (SURVEY §3.2 smart variant).
+    """
+    params = params or optimizers.LMParams()
+    graph._materialize()
+    n_cams = jax.tree_util.tree_leaves(values.params(cam_type))[0].shape[0]
+
+    @jax.jit
+    def err_fn(values_in: Values):
+        poses = jax.tree_util.tree_map(
+            lambda a: a[jnp.asarray(smart.cam_rows)], values_in.params(cam_type)
+        )
+        e = total_error(smart, poses)
+        return e + graph.error(values_in)
+
+    @jax.jit
+    def assemble_fn(values_in: Values):
+        poses = jax.tree_util.tree_map(
+            lambda a: a[jnp.asarray(smart.cam_rows)], values_in.params(cam_type)
+        )
+        H, g, _ = assemble_camera_system(smart, poses, n_cams)
+        if graph.batches:
+            lg = graph.linearize(values_in)
+            H2, g2 = linsolve.assemble_dense(lg)
+            H = H + H2
+            g = g + g2
+        return H, g
+
+    @jax.jit
+    def solve_fn(H, g, lam):
+        x = linsolve.dense_solve(H, g, lam, diagonal_damping=params.diagonal_damping)
+        lin_dec = jnp.dot(g, x) - 0.5 * jnp.dot(x, H @ x)
+        return x, lin_dec
+
+    @jax.jit
+    def retract_fn(values_in: Values, delta):
+        return values_in.retract(delta)
+
+    err = float(err_fn(values))
+    history = [err]
+    lam = params.lambda_initial
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        H, g = assemble_fn(values)
+        accepted = False
+        for _ in range(params.max_try_iterations):
+            x, lin_dec = solve_fn(H, g, jnp.asarray(lam, dtype=H.dtype))
+            delta = {cam_type: x.reshape(n_cams, 6)}
+            new_values = retract_fn(values, delta)
+            new_err = float(err_fn(new_values))
+            rho = (err - new_err) / max(float(lin_dec), 1e-30)
+            if err - new_err > 0 and rho >= params.min_model_fidelity:
+                values = new_values
+                lam = max(lam / params.lambda_factor, params.lambda_lower_bound)
+                accepted = True
+                break
+            lam *= params.lambda_factor
+            if lam > params.lambda_upper_bound:
+                break
+        if not accepted:
+            converged = True
+            break
+        history.append(new_err)
+        if optimizers.check_convergence(params, err, new_err):
+            err = new_err
+            converged = True
+            break
+        err = new_err
+    return optimizers.OptimizerResult(values, err, it, converged, history)
