@@ -53,6 +53,32 @@ class Values:
         self._pending.setdefault(type_name, []).append(value)
         return self
 
+    def insert_batch(self, keys, type_name: str, stacked_params) -> "Values":
+        """Insert many values of one type at once from an already-stacked
+        params pytree (leaves [N, ...]). Avoids per-item staging — one device
+        array in, no per-key ops (important under remote-device backends)."""
+        keys = [int(k) for k in keys]
+        base = self._count(type_name)
+        for off, key in enumerate(keys):
+            if key in self._index:
+                raise KeyError(f"key {key} already in Values")
+            self._index[key] = (type_name, base + off)
+            self._type_keys.setdefault(type_name, []).append(key)
+        # flush any pending singles of this type first to keep row order
+        if self._pending.get(type_name):
+            self._materialize()
+        if type_name in self._params:
+            self._params[type_name] = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, jnp.asarray(b)], axis=0),
+                self._params[type_name],
+                stacked_params,
+            )
+        else:
+            self._params[type_name] = jax.tree_util.tree_map(
+                jnp.asarray, stacked_params
+            )
+        return self
+
     def update(self, key: int, value) -> "Values":
         """Replace the value at an existing key."""
         t, row = self._index[int(key)]

