@@ -81,3 +81,77 @@ def shorthand(c: str) -> _Shorthand:
 def key_to_str(key: int) -> str:
     s = symbol_chr(key)
     return f"{s}{symbol_index(key)}" if s else str(key)
+
+
+# --- LabeledSymbol: robot-id namespacing (inference/LabeledSymbol.h) ---------
+
+_LABEL_BITS = 48
+_LABEL_MASK = (1 << _LABEL_BITS) - 1
+
+
+def labeled_symbol(c: str, label: str, j: int) -> int:
+    """Pack type char + robot label char + 48-bit index into a Key.
+
+    The reference's multi-robot key namespacing mechanism
+    (gtsam/inference/LabeledSymbol.h): same uint64 key space as Symbol but
+    with a second character identifying the robot.
+    """
+    if len(c) != 1 or len(label) != 1:
+        raise ValueError("labeled_symbol needs single characters")
+    if not 0 <= j <= _LABEL_MASK:
+        raise ValueError(f"labeled symbol index {j} out of range")
+    return (ord(c) << 56) | (ord(label) << _LABEL_BITS) | j
+
+
+def labeled_symbol_chr(key: int) -> str:
+    return symbol_chr(key)
+
+
+def labeled_symbol_label(key: int) -> str:
+    c = (key >> _LABEL_BITS) & 0xFF
+    return chr(c) if 0x20 < c < 0x7F else ""
+
+
+def labeled_symbol_index(key: int) -> int:
+    return key & _LABEL_MASK
+
+
+class LabeledSymbol:
+    """Mirror of gtsam::LabeledSymbol (multi-robot keys)."""
+
+    __slots__ = ("c", "label", "j")
+
+    def __init__(self, c: str, label: str, j: int):
+        self.c, self.label, self.j = c, label, j
+
+    @classmethod
+    def from_key(cls, key: int) -> "LabeledSymbol":
+        return cls(
+            labeled_symbol_chr(key) or "\0",
+            labeled_symbol_label(key) or "\0",
+            labeled_symbol_index(key),
+        )
+
+    def key(self) -> int:
+        return labeled_symbol(self.c, self.label, self.j)
+
+    def new_chr(self, c: str) -> "LabeledSymbol":
+        return LabeledSymbol(c, self.label, self.j)
+
+    def new_label(self, label: str) -> "LabeledSymbol":
+        return LabeledSymbol(self.c, label, self.j)
+
+    def __int__(self) -> int:
+        return self.key()
+
+    def __index__(self) -> int:
+        return self.key()
+
+    def __eq__(self, other) -> bool:
+        return int(self) == int(other)
+
+    def __hash__(self) -> int:
+        return hash(self.key())
+
+    def __repr__(self) -> str:
+        return f"{self.c}{self.label}{self.j}"

@@ -49,7 +49,7 @@ def gradient(lg: LinearizedGraph) -> VectorValues:
     g = zero_delta(lg, dtype)
     for lb in lg.batches:
         for k, t in enumerate(lb.var_types):
-            contrib = jnp.einsum("ndk,nd->nk", lb.A[k], lb.b)
+            contrib = lb.sign * jnp.einsum("ndk,nd->nk", lb.A[k], lb.b)
             g[t] = g[t].at[jnp.asarray(lb.rows[k])].add(contrib)
     return g
 
@@ -64,7 +64,7 @@ def hvp(lg: LinearizedGraph, v: VectorValues) -> VectorValues:
             uk = jnp.einsum("ndk,nk->nd", lb.A[k], vk)
             u = uk if u is None else u + uk
         for k, t in enumerate(lb.var_types):
-            contrib = jnp.einsum("ndk,nd->nk", lb.A[k], u)
+            contrib = lb.sign * jnp.einsum("ndk,nd->nk", lb.A[k], u)
             out[t] = out[t].at[jnp.asarray(lb.rows[k])].add(contrib)
     return out
 
@@ -78,7 +78,7 @@ def hessian_block_diagonal(lg: LinearizedGraph) -> Dict[str, jnp.ndarray]:
     }
     for lb in lg.batches:
         for k, t in enumerate(lb.var_types):
-            blk = jnp.einsum("ndi,ndj->nij", lb.A[k], lb.A[k])
+            blk = lb.sign * jnp.einsum("ndi,ndj->nij", lb.A[k], lb.A[k])
             out[t] = out[t].at[jnp.asarray(lb.rows[k])].add(blk)
     return out
 
@@ -92,7 +92,7 @@ def error(lg: LinearizedGraph, delta: VectorValues) -> jnp.ndarray:
         for k, t in enumerate(lb.var_types):
             vk = delta[t][jnp.asarray(lb.rows[k])]
             u = u + jnp.einsum("ndk,nk->nd", lb.A[k], vk)
-        total = total + 0.5 * jnp.sum(u * u)
+        total = total + lb.sign * 0.5 * jnp.sum(u * u)
     return total
 
 
@@ -146,9 +146,9 @@ def assemble_dense(lg: LinearizedGraph):
             base = off[t] + jnp.asarray(lb.rows[k], dtype=jnp.int32) * dk
             gidx.append(base[:, None] + jnp.arange(dk, dtype=jnp.int32)[None, :])
         for k in range(len(lb.var_types)):
-            g = g.at[gidx[k]].add(jnp.einsum("ndk,nd->nk", lb.A[k], lb.b))
+            g = g.at[gidx[k]].add(lb.sign * jnp.einsum("ndk,nd->nk", lb.A[k], lb.b))
             for l in range(len(lb.var_types)):
-                blk = jnp.einsum("ndi,ndj->nij", lb.A[k], lb.A[l])
+                blk = lb.sign * jnp.einsum("ndi,ndj->nij", lb.A[k], lb.A[l])
                 H = H.at[gidx[k][:, :, None], gidx[l][:, None, :]].add(blk)
     return H, g
 

@@ -59,6 +59,8 @@ class FactorBatch:
     params: Any  # pytree, leaves [N, ...]
     sqrt_info: jnp.ndarray  # [N, d, d]
     robust: Optional[RobustLoss] = None
+    # +1.0 normal factor; -1.0 subtracts information (slam/AntiFactor.h)
+    sign: float = 1.0
 
     @property
     def size(self) -> int:
@@ -77,6 +79,7 @@ class LinearBatch:
     rows: Tuple[np.ndarray, ...]  # per slot, [N] int32 rows into type batch
     A: Tuple[jnp.ndarray, ...]  # per slot, [N, d, dim_k]
     b: jnp.ndarray  # [N, d]
+    sign: float = 1.0  # -1.0: information is SUBTRACTED (AntiFactor)
 
 
 @dataclass
@@ -105,6 +108,7 @@ class NonlinearFactorGraph:
         params,
         sqrt_info,
         robust: Optional[RobustLoss] = None,
+        sign: float = 1.0,
     ) -> "NonlinearFactorGraph":
         keys = np.asarray(keys, dtype=np.uint64).reshape(-1, len(ftype.var_types))
         n = keys.shape[0]
@@ -113,20 +117,20 @@ class NonlinearFactorGraph:
             sqrt_info = jnp.broadcast_to(
                 sqrt_info, (n, ftype.resid_dim, ftype.resid_dim)
             )
-        self.batches.append(FactorBatch(ftype, keys, params, sqrt_info, robust))
+        self.batches.append(FactorBatch(ftype, keys, params, sqrt_info, robust, sign))
         return self
 
-    def add(self, ftype, keys, params, sqrt_info, robust=None):
-        """Add a single factor (staged; batched together per type+robust)."""
-        tag = (ftype.name, repr(robust))
-        entry = self._pending.setdefault(tag, (ftype, [], [], [], robust))
+    def add(self, ftype, keys, params, sqrt_info, robust=None, sign: float = 1.0):
+        """Add a single factor (staged; batched together per type+robust+sign)."""
+        tag = (ftype.name, repr(robust), sign)
+        entry = self._pending.setdefault(tag, (ftype, [], [], [], robust, sign))
         entry[1].append(np.asarray(keys, dtype=np.uint64))
         entry[2].append(params)
         entry[3].append(jnp.asarray(sqrt_info))
         return self
 
     def _materialize(self):
-        for (ftype, keys, params, infos, robust) in self._pending.values():
+        for (ftype, keys, params, infos, robust, sign) in self._pending.values():
             stacked_params = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0), *params
             )
@@ -136,6 +140,7 @@ class NonlinearFactorGraph:
                 stacked_params,
                 jnp.stack(infos, axis=0),
                 robust,
+                sign,
             )
         self._pending = {}
 
@@ -232,9 +237,9 @@ class NonlinearFactorGraph:
             r_w = jax.vmap(single_err)(xs, batch.params, batch.sqrt_info)
             if batch.robust is not None:
                 e = jnp.linalg.norm(r_w, axis=-1)
-                total = total + jnp.sum(batch.robust.loss(e))
+                total = total + batch.sign * jnp.sum(batch.robust.loss(e))
             else:
-                total = total + 0.5 * jnp.sum(r_w * r_w)
+                total = total + batch.sign * 0.5 * jnp.sum(r_w * r_w)
         return total
 
     def linearize(self, values: Values) -> LinearizedGraph:
@@ -251,7 +256,8 @@ class NonlinearFactorGraph:
             r_w, Js = self._residual_and_jac(batch, xs)
             out.append(
                 LinearBatch(
-                    var_types=batch.ftype.var_types, rows=rows, A=Js, b=-r_w
+                    var_types=batch.ftype.var_types, rows=rows, A=Js, b=-r_w,
+                    sign=batch.sign,
                 )
             )
         counts = {
