@@ -232,6 +232,7 @@ def symbolic_eliminate(
     ordering: Optional[np.ndarray] = None,
     merge_threshold: float = 0.25,
     max_supernode: int = 32,
+    max_buckets_per_level: int = 2,
 ) -> EliminationPlan:
     """Build the elimination plan.
 
@@ -340,6 +341,12 @@ def symbolic_eliminate(
         c.level = int(level[c.cid])
 
     # --- buckets per level ---
+    # Each bucket is one batched device kernel; with fine shape classes a
+    # level can explode into 10-20 buckets -> ~1000 tiny sequential kernels
+    # per solve (launch-bound on TPU, huge XLA graphs). Merge shape classes
+    # within a level down to `max_buckets_per_level`, choosing merges that
+    # minimize the extra padded volume (flops are nearly free at these sizes;
+    # kernel count is the cost that matters).
     n_levels = int(level.max()) + 1 if len(cliques) else 0
     levels: List[List[Bucket]] = []
     for lv in range(n_levels):
@@ -349,10 +356,26 @@ def symbolic_eliminate(
                 continue
             key = (_pad_to_class(len(c.frontal)), _pad_to_class(len(c.separator)) if c.separator else 0)
             groups.setdefault(key, []).append(c.cid)
-            c.bucket = key
-        levels.append(
-            [Bucket(nf=k[0], ns=k[1], cliques=v) for k, v in sorted(groups.items())]
-        )
+        items = sorted(groups.items(), key=lambda kv: kv[0][0] + kv[0][1])
+        while len(items) > max_buckets_per_level:
+            best_i, best_extra = 0, None
+            for i in range(len(items) - 1):
+                (nf1, ns1), c1 = items[i]
+                (nf2, ns2), c2 = items[i + 1]
+                m = max(nf1, nf2) + max(ns1, ns2)
+                extra = (len(c1) + len(c2)) * m * m - (
+                    len(c1) * (nf1 + ns1) ** 2 + len(c2) * (nf2 + ns2) ** 2
+                )
+                if best_extra is None or extra < best_extra:
+                    best_extra, best_i = extra, i
+            (nf1, ns1), c1 = items[best_i]
+            (nf2, ns2), c2 = items[best_i + 1]
+            items[best_i] = ((max(nf1, nf2), max(ns1, ns2)), c1 + c2)
+            del items[best_i + 1]
+        for key, cids in items:
+            for cid in cids:
+                cliques[cid].bucket = key
+        levels.append([Bucket(nf=k[0], ns=k[1], cliques=v) for k, v in items])
 
     # --- flat offsets ---
     F_off = 0
