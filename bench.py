@@ -59,16 +59,14 @@ def main():
     # host planning once (supernodal multifrontal; ND ordering) — pure host
     # work, no device ops (eager ops are remote round-trips under axon)
     structure = elimination.graph_structure(graph, values)
-    plan = elimination.build_plan_for_graph(
-        [(rows, t[0]) for (t, rows) in structure], len(values), 6
-    )
+    plan = elimination.build_plan_for_graph(structure, len(values), 6)
     maps = elimination.build_numeric_maps(plan, structure)
 
     @jax.jit
     def gn_step(values_in):
         lg = graph.linearize(values_in)
         Ab = tuple((lb.A, lb.b) for lb in lg.batches)
-        x = elimination.multifrontal_solve(maps, Ab, 1e-5)
+        x = elimination._multifrontal_solve_impl(maps, Ab, 1e-5)
         return values_in.retract({"Pose3": x})
 
     # warmup / compile

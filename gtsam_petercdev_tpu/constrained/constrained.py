@@ -63,8 +63,14 @@ class PenaltyParams:
     inner: Optional[optimizers.LMParams] = None
 
 
-def _constraint_factor(c, shifted: bool) -> FactorType:
-    """FactorType whose residual is g(x) (+ dual shift when shifted)."""
+def _constraint_factor(c, shifted: bool, uid: int = 0) -> FactorType:
+    """FactorType whose residual is g(x) (+ dual shift when shifted).
+
+    `uid` disambiguates the FactorType name: batching groups factors by
+    name, and two constraints sharing a display name but carrying different
+    g callables must NOT be stacked into one batch (the first closure would
+    silently evaluate both).
+    """
 
     def residual(xs, params):
         r = c.g(xs, params["user"])
@@ -76,7 +82,7 @@ def _constraint_factor(c, shifted: bool) -> FactorType:
         return r
 
     return FactorType(
-        name=f"Constraint_{c.name}",
+        name=f"Constraint_{c.name}_{uid}",
         var_types=tuple(c.var_types),
         resid_dim=c.dim,
         residual=residual,
@@ -95,8 +101,8 @@ def _augment(
     graph._materialize()
     aug.batches = list(graph.batches)
     sqrt_mu = float(np.sqrt(mu))
-    for c, lam in zip(constraints, duals):
-        ft = _constraint_factor(c, shifted=True)
+    for ci, (c, lam) in enumerate(zip(constraints, duals)):
+        ft = _constraint_factor(c, shifted=True, uid=ci)
         shift = jnp.asarray(lam, dtype=dtype) / mu
         aug.add(
             ft,
@@ -108,14 +114,22 @@ def _augment(
     return aug
 
 
-def _violation(constraints, values: Values, dtype):
+def _constraint_values(constraints, values: Values, dtype):
+    """Raw (unclipped) g(x) per constraint — used for the dual update."""
     vs = []
     for c in constraints:
         xs = tuple(values.at(k) for k in c.keys)
-        g = c.g(xs, c.params)
+        vs.append(jnp.asarray(c.g(xs, c.params), dtype=dtype))
+    return vs
+
+
+def _violation(constraints, values: Values, dtype):
+    """Clipped violation metric: inequalities count only when g > 0."""
+    vs = []
+    for c, g in zip(constraints, _constraint_values(constraints, values, dtype)):
         if isinstance(c, InequalityConstraint):
             g = jnp.maximum(g, 0.0)
-        vs.append(jnp.asarray(g, dtype=dtype))
+        vs.append(g)
     return vs
 
 
@@ -167,8 +181,13 @@ def augmented_lagrangian_optimize(
         max_v = max(float(jnp.max(jnp.abs(v))) for v in viol)
         if max_v < params.constraint_tol:
             break
+        # Dual update uses the RAW g (not the clipped violation): for
+        # inequalities lam <- max(lam + mu g, 0) must see g < 0 so a
+        # multiplier on a constraint that became inactive decays back to 0
+        # instead of penalizing inside the feasible region.
+        raw = _constraint_values(constraints, values, dtype)
         new_duals = []
-        for c, lam, g in zip(constraints, duals, viol):
+        for c, lam, g in zip(constraints, duals, raw):
             lam_new = lam + mu * g
             if isinstance(c, InequalityConstraint):
                 lam_new = jnp.maximum(lam_new, 0.0)

@@ -1,239 +1,574 @@
-"""Batched supernodal multifrontal Cholesky — the device execution of an
-EliminationPlan.
+"""Batched supernodal multifrontal Cholesky — device execution of an
+EliminationPlan (block-pool design, v2).
 
-Per tree level (bottom-up), all same-shape cliques are processed by ONE
-batched dense partial-Cholesky kernel — LLT of the frontal block, triangular
-solve of the separator coupling, SYRK downdate — exactly the math of the
-reference's per-clique hot loop (base/cholesky.cpp:106-159 choleskyPartial)
-but vmapped over a shape bucket so it tiles onto the MXU. Child->parent
-extend-add (ClusterTree-inst.h:219-268) becomes precomputed flat scatter-adds
-into a single global frontal buffer. Back-substitution
-(GaussianConditional.cpp:218 solve) is the mirrored top-down level sweep.
+Layout: every clique's (padded) frontal matrix is a row-major grid of
+mb x mb blocks of d x d; all cliques' blocks live in ONE flat pool
+[n_blocks, d*d] ordered level/bucket/clique-contiguously, so each bucket's
+frontal matrices are a STATIC SLICE of the pool (no gather). The only
+scatters are block-granular (d*d-wide rows):
 
-All host irregularity lives in the plan; this module is pure jittable array
-code given the plan's (static) index maps.
+  1. factor Hessian blocks  A_k^T A_l -> owning clique slots (the Scatter /
+     updateHessian analog, gtsam/linear/HessianFactor.cpp:515),
+  2. child->parent Schur extend-add (ClusterTree-inst.h:219-268).
+
+Per level/bucket one hand-rolled batched partial-Cholesky kernel
+(inference/kernels.py) replaces the reference's per-clique choleskyPartial
+(base/cholesky.cpp:106-159). Back-substitution mirrors
+GaussianConditional::solve (linear/GaussianConditional.cpp:218) as the
+top-down level sweep.
+
+Mixed-dimension support: variables of tangent dim < d are padded to d with
+identity rows on the fake dims (so BA's Pose3+Point3 and VIO's
+Pose3+Vel+Bias run the same uniform-shape kernels; the reference handles
+this with variable-size blocks, Scatter.h:49).
+
+v1 history: the first version kept scalar-granular index maps the size of
+the whole frontal pool (~20M int64 entries embedded as XLA constants) which
+made a single GN step compile in 250+ s and run scatter-bound; this design
+keeps index maps ~1000x smaller and all heavy ops dense.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gtsam_petercdev_tpu.core import manifold
+from gtsam_petercdev_tpu.inference.kernels import _einsum
+from gtsam_petercdev_tpu.inference import kernels
 from gtsam_petercdev_tpu.inference.symbolic import (
     Bucket,
     Clique,
     EliminationPlan,
     symbolic_eliminate,
 )
-from gtsam_petercdev_tpu.nonlinear.factor_graph import LinearizedGraph
+
+
+@dataclass
+class BatchStructure:
+    """Host structure of one factor batch: per-slot global var ids."""
+
+    dims: Tuple[int, ...]  # true tangent dim per slot (<= plan.d)
+    gids: Tuple[np.ndarray, ...]  # per slot [N] global variable ids
+    sign: float = 1.0
+
+
+@dataclass
+class BucketMaps:
+    level: int
+    B: int
+    nf: int  # padded frontal blocks
+    ns: int  # padded separator blocks
+    blk_start: int  # first pool row of this bucket's blocks
+    g_start: int  # first g-pool row
+    ext_idx: np.ndarray  # [B, ns, ns] pool rows for U extend-add (trash pads)
+    extg_idx: np.ndarray  # [B, ns]
+    sep_idx: np.ndarray  # [B, ns] x-pool rows of separator vars (trash pads)
+    fro_idx: np.ndarray  # [B, nf] x-pool rows of frontal vars (trash pads)
+
+    @property
+    def mb(self):
+        return self.nf + self.ns
+
+
+_MAPS_UID = [0]
 
 
 @dataclass
 class NumericMaps:
-    """Static index maps binding a LinearizedGraph's structure to a plan."""
-
     plan: EliminationPlan
-    # factor scatter: per (batch, k, l): flat target [N, d, d] into F_flat
-    fac_F_idx: List[Tuple[int, int, int, np.ndarray]]
-    # per (batch, k): flat target [N, d] into g_flat
-    fac_g_idx: List[Tuple[int, int, np.ndarray]]
-    # padding diagonal ones: [P] indices into F_flat
-    pad_diag_idx: np.ndarray
-    # diag damping targets: [n, d] indices of each var's diagonal entries
-    # (in PERMUTED var order; each var's diagonal is written once, at its
-    # owning clique — note the assembled F is NOT H there, contributions are
-    # distributed across descendants, so damping values must be computed
-    # from the Jacobians, not read back from F)
-    var_diag_idx: np.ndarray
-    # per (batch, slot): original variable rows [N] (for diag(H) computation)
-    slot_rows: List[Tuple[int, int, np.ndarray]]
-    # per level: list over buckets of extend-add maps
-    #   (U_dst [B, sd, sd], ug_dst [B, sd]) flat indices (trash for pads)
-    ext_F_dst: List[List[np.ndarray]]
-    ext_g_dst: List[List[np.ndarray]]
-    # back-substitution: per level/bucket: sep gather [B, sd] into x_flat,
-    # frontal scatter [B, fd] into x_flat (trash for pads)
-    sep_gather: List[List[np.ndarray]]
-    front_scatter: List[List[np.ndarray]]
-    # per level/bucket: gather of frontal matrices from F_flat [B, m*d, m*d]
-    F_gather: List[List[np.ndarray]]
-    g_gather: List[List[np.ndarray]]
-    x_size: int
+    n_blocks: int
+    n_grows: int
+    batch_signs: List[float]
+    slot_dims: List[Tuple[int, ...]]
+    fac_blk_idx: List[np.ndarray]  # per batch [N, K, K] int32 pool rows
+    fac_g_idx: List[np.ndarray]  # per batch [N, K] int32 g-pool rows
+    slot_gids: List[Tuple[np.ndarray, ...]]  # per batch per slot [N] gids
+    eye_rows: np.ndarray  # [P] pool rows getting identity padding
+    eye_vals: np.ndarray  # [P, d*d]
+    var_diag_rows: np.ndarray  # [n] pool row of var's diag block (gid order)
+    buckets: List[BucketMaps]  # flattened level-major, bottom-up
+    uid: int = -1  # unique id for the jit cache
 
 
 def build_plan_for_graph(
-    lg_rows: List[Tuple[Tuple[np.ndarray, ...], str]],
+    lg_rows,
     n_vars: int,
     d: int,
     ordering: Optional[np.ndarray] = None,
+    **kwargs,
 ) -> EliminationPlan:
-    factor_vars = [np.stack(rows, axis=1).astype(np.int64) for rows, _t in lg_rows]
-    return symbolic_eliminate(n_vars, factor_vars, d, ordering=ordering)
+    """lg_rows: list of (rows_tuple, _ignored) or BatchStructure entries."""
+    factor_vars = []
+    for ent in lg_rows:
+        rows = ent.gids if isinstance(ent, BatchStructure) else ent[0]
+        factor_vars.append(np.stack(rows, axis=1).astype(np.int64))
+    return symbolic_eliminate(n_vars, factor_vars, d, ordering=ordering, **kwargs)
 
 
-def graph_structure(graph, values):
-    """Host-only structure extraction: per batch (var_types, rows) — no
-    device work (critical: eager ops are remote round-trips on TPU)."""
-    graph._materialize()
-    out = []
-    for batch in graph.batches:
-        rows = tuple(
-            values.rows(batch.keys[:, k], t)
-            for k, t in enumerate(batch.ftype.var_types)
-        )
-        out.append((batch.ftype.var_types, rows))
+def type_offsets(type_counts: Dict[str, int]) -> Dict[str, int]:
+    """Global variable enumeration: types in sorted-name order."""
+    off, out = 0, {}
+    for t in sorted(type_counts):
+        out[t] = off
+        off += type_counts[t]
     return out
 
 
-def build_numeric_maps(plan: EliminationPlan, structure) -> NumericMaps:
-    """structure: list of (var_types, rows-tuple) per batch — host data only
-    (a LinearizedGraph also works via its .batches attributes)."""
-    if hasattr(structure, "batches"):
-        structure = [(lb.var_types, lb.rows) for lb in structure.batches]
+def graph_structure(graph, values) -> List[BatchStructure]:
+    """Host-only structure extraction (no device work)."""
+    graph._materialize()
+    counts = {t: values._count(t) for t in values.types()}
+    offs = type_offsets(counts)
+    out = []
+    for batch in graph.batches:
+        gids, dims = [], []
+        for k, t in enumerate(batch.ftype.var_types):
+            rows = values.rows(batch.keys[:, k], t)
+            gids.append(np.asarray(rows, dtype=np.int64) + offs[t])
+            dims.append(manifold.get(t).dim)
+        out.append(BatchStructure(tuple(dims), tuple(gids), batch.sign))
+    return out
+
+
+def _as_structures(structure) -> List[BatchStructure]:
+    if hasattr(structure, "batches"):  # LinearizedGraph (single-type tests)
+        offs = type_offsets(structure.type_counts)
+        ents = []
+        for lb in structure.batches:
+            dims = tuple(manifold.get(t).dim for t in lb.var_types)
+            gids = tuple(
+                np.asarray(r, dtype=np.int64) + offs[t]
+                for r, t in zip(lb.rows, lb.var_types)
+            )
+            ents.append(BatchStructure(dims, gids, getattr(lb, "sign", 1.0)))
+        return ents
+    out = []
+    for ent in structure:
+        if isinstance(ent, BatchStructure):
+            out.append(ent)
+        else:  # legacy (var_types, rows) tuple, single type space
+            var_types, rows = ent[0], ent[1]
+            sign = ent[2] if len(ent) > 2 else 1.0
+            dims = tuple(manifold.get(t).dim for t in var_types)
+            gids = tuple(np.asarray(r, dtype=np.int64) for r in rows)
+            out.append(BatchStructure(dims, gids, sign))
+    return out
+
+
+def build_numeric_maps(
+    plan: EliminationPlan, structure, var_dims: Optional[np.ndarray] = None
+) -> NumericMaps:
+    """Build block-granular index maps binding factor structure to the plan.
+
+    var_dims: [n] true tangent dim per global var (defaults to plan.d —
+    uniform). Vars with dim < d get identity rows on their fake dims.
+    """
+    structure = _as_structures(structure)
     d = plan.d
     iperm = plan.iperm
     cliques = plan.cliques
-    base = plan._base
-    vec_base = plan._vec_base
-    trash_F = plan.F_size - 1
-    trash_g = plan.g_size - 1
 
-    def clique_pos(c: Clique, pv: int) -> int:
-        """Block position of permuted var pv in clique c's PADDED frontal."""
-        if pv in c._fpos:
-            return c._fpos[pv]
-        return c.bucket[0] + c._spos[pv]
+    # clique block-pool bases (level/bucket/clique-contiguous)
+    blk_base = np.zeros(len(cliques), dtype=np.int64)
+    g_base = np.zeros(len(cliques), dtype=np.int64)
+    mb_of = np.zeros(len(cliques), dtype=np.int64)
+    boff, goff = 0, 0
+    bucket_meta = []
+    for lv_i, lv in enumerate(plan.levels):
+        for bk in lv:
+            mb = bk.nf + bk.ns
+            bucket_meta.append((lv_i, bk, boff, goff))
+            for cid in bk.cliques:
+                blk_base[cid] = boff
+                g_base[cid] = goff
+                mb_of[cid] = mb
+                boff += mb * mb
+                goff += mb
+    n_blocks, n_grows = boff, goff
+    trash_blk, trash_g = n_blocks, n_grows
 
-    # index lookups per clique
     for c in cliques:
         c._fpos = {v: i for i, v in enumerate(c.frontal)}
         c._spos = {v: i for i, v in enumerate(c.separator)}
 
-    ar = np.arange(d, dtype=np.int64)
+    def cpos(c: Clique, pv: int) -> int:
+        p = c._fpos.get(pv)
+        if p is not None:
+            return p
+        return c.bucket[0] + c._spos[pv]
 
-    fac_F_idx = []
-    fac_g_idx = []
-    slot_rows = []
-    for bi, (var_types, brows) in enumerate(structure):
-        K = len(var_types)
-        rows = [np.asarray(r, dtype=np.int64) for r in brows]
-        pvs = [iperm[r] for r in rows]  # permuted var ids [N]
-        minpv = np.minimum.reduce(pvs) if K > 1 else pvs[0]
-        own = plan.var_clique[minpv]  # clique id per factor [N]
-        N = rows[0].shape[0]
-        m_arr = np.array(
-            [(cliques[cid].bucket[0] + cliques[cid].bucket[1]) * d for cid in own],
-            dtype=np.int64,
-        )
-        cb = base[own]  # [N]
-        vb = vec_base[own]
-        pos = []
+    # --- factor scatter maps ---
+    fac_blk_idx, fac_g_idx, slot_gids, signs, sdims = [], [], [], [], []
+    for ent in structure:
+        K = len(ent.gids)
+        gids = [np.asarray(g, dtype=np.int64) for g in ent.gids]
+        N = gids[0].shape[0]
+        pvs = [iperm[g] for g in gids]
+        minpv = pvs[0]
+        for k in range(1, K):
+            minpv = np.minimum(minpv, pvs[k])
+        own = plan.var_clique[minpv]  # [N]
+        base = blk_base[own]
+        gb = g_base[own]
+        mb = mb_of[own]
+        pos = np.empty((N, K), dtype=np.int64)
         for k in range(K):
-            pk = np.array(
-                [clique_pos(cliques[own[n]], pvs[k][n]) for n in range(N)],
+            # vectorized clique_pos
+            pos[:, k] = np.array(
+                [cpos(cliques[own[i]], pvs[k][i]) for i in range(N)],
                 dtype=np.int64,
             )
-            pos.append(pk * d)
+        blk = np.empty((N, K, K), dtype=np.int64)
         for k in range(K):
-            slot_rows.append((bi, k, rows[k]))
-            row_idx = cb[:, None] + (pos[k][:, None] + ar[None, :]) * m_arr[:, None]  # [N, d]
-            g_idx = vb[:, None] + pos[k][:, None] + ar[None, :]
-            fac_g_idx.append((bi, k, g_idx))
             for l in range(K):
-                col = pos[l][:, None] + ar[None, :]  # [N, d]
-                full = row_idx[:, :, None] + col[:, None, :]  # [N, d, d]
-                fac_F_idx.append((bi, k, l, full))
+                blk[:, k, l] = base + pos[:, k] * mb + pos[:, l]
+        gidx = gb[:, None] + pos
+        fac_blk_idx.append(blk.astype(np.int32))
+        fac_g_idx.append(gidx.astype(np.int32))
+        slot_gids.append(tuple(gids))
+        signs.append(float(ent.sign))
+        sdims.append(tuple(ent.dims))
 
-    # padding diagonal ones + per-var diagonal indices
-    pad_diag = []
-    var_diag = np.zeros((plan.n, d), dtype=np.int64)
+    # --- identity padding: padded frontal slots + fake dims of small vars ---
+    dd = d * d
+    eye_rows, eye_vals = [], []
+    eye_flat = np.eye(d).reshape(-1)
+    if var_dims is None:
+        var_dims = np.full(plan.n, d, dtype=np.int64)
     for c in cliques:
-        nf_pad, ns_pad = c.bucket
-        m = (nf_pad + ns_pad) * d
-        for i, v in enumerate(c.frontal):
-            p = i * d
-            var_diag[v] = base[c.cid] + (p + ar) * m + (p + ar)
+        nf_pad, _ = c.bucket
+        mb = mb_of[c.cid]
         for i in range(len(c.frontal), nf_pad):
-            p = i * d
-            pad_diag.extend(base[c.cid] + (p + ar) * m + (p + ar))
-    pad_diag_idx = np.asarray(pad_diag, dtype=np.int64)
+            eye_rows.append(blk_base[c.cid] + i * mb + i)
+            eye_vals.append(eye_flat)
+        for i, pv in enumerate(c.frontal):
+            dv = int(var_dims[plan.perm[pv]])
+            if dv < d:
+                v = np.zeros((d, d))
+                v[np.arange(dv, d), np.arange(dv, d)] = 1.0
+                eye_rows.append(blk_base[c.cid] + i * mb + i)
+                eye_vals.append(v.reshape(-1))
+    eye_rows = np.asarray(eye_rows, dtype=np.int32)
+    eye_vals = (
+        np.stack(eye_vals).astype(np.float64)
+        if eye_vals
+        else np.zeros((0, dd))
+    )
 
-    # per level/bucket maps
-    ext_F_dst, ext_g_dst = [], []
-    sep_gather, front_scatter = [], []
-    F_gather, g_gather = [], []
-    x_size = plan.n * d + d  # + trash block
-    x_trash = plan.n * d
+    # --- per-var diag block rows (gid order, for damping) ---
+    var_diag = np.zeros(plan.n, dtype=np.int32)
+    for c in cliques:
+        mb = mb_of[c.cid]
+        for i, pv in enumerate(c.frontal):
+            var_diag[plan.perm[pv]] = blk_base[c.cid] + i * mb + i
 
-    for lv in plan.levels:
-        eF, eg, sg, fs, Fg, gg = [], [], [], [], [], []
-        for bk in lv:
-            B = len(bk.cliques)
-            fd, sd = bk.nf * d, bk.ns * d
-            m = fd + sd
-            # frontal gather indices
-            Fi = bk.base[:, None] + np.arange(m * m, dtype=np.int64)[None, :]
-            Fg.append(Fi.reshape(B, m, m))
-            gi = bk.vec_base[:, None] + np.arange(m, dtype=np.int64)[None, :]
-            gg.append(gi)
-            # extend-add destinations + separator gathers + frontal scatters
-            U_dst = np.full((B, sd, sd), trash_F, dtype=np.int64)
-            ug_dst = np.full((B, sd), trash_g, dtype=np.int64)
-            s_gat = np.full((B, sd), x_trash, dtype=np.int64)
-            f_sca = np.full((B, fd), x_trash, dtype=np.int64)
-            for i, cid in enumerate(bk.cliques):
-                c = plan.cliques[cid]
-                if c.parent >= 0:
-                    p = plan.cliques[c.parent]
-                    pm = (p.bucket[0] + p.bucket[1]) * d
-                    pb = base[p.cid]
-                    pvb = vec_base[p.cid]
-                    ppos = np.array(
-                        [clique_pos(p, v) * d for v in c.separator], dtype=np.int64
-                    )
-                    ns_real = len(c.separator)
-                    rowp = (ppos[:, None] + ar[None, :]).reshape(-1)  # [ns_real*d]
-                    U_dst[i, : ns_real * d, : ns_real * d] = (
-                        pb + rowp[:, None] * pm + rowp[None, :]
-                    )
-                    ug_dst[i, : ns_real * d] = pvb + rowp
-                # separator solution gather (positions in x_flat, permuted order)
-                for si, v in enumerate(c.separator):
-                    s_gat[i, si * d : (si + 1) * d] = v * d + ar
-                for fi, v in enumerate(c.frontal):
-                    f_sca[i, fi * d : (fi + 1) * d] = v * d + ar
-            eF.append(U_dst)
-            eg.append(ug_dst)
-            sg.append(s_gat)
-            fs.append(f_sca)
-        ext_F_dst.append(eF)
-        ext_g_dst.append(eg)
-        sep_gather.append(sg)
-        front_scatter.append(fs)
-        F_gather.append(Fg)
-        g_gather.append(gg)
+    # --- bucket maps ---
+    buckets = []
+    x_trash = plan.n
+    for (lv_i, bk, boff_b, goff_b) in bucket_meta:
+        B = len(bk.cliques)
+        nf, ns = bk.nf, bk.ns
+        mb = nf + ns
+        ext = np.full((B, ns, ns), trash_blk, dtype=np.int64)
+        extg = np.full((B, ns), trash_g, dtype=np.int64)
+        sep = np.full((B, ns), x_trash, dtype=np.int64)
+        fro = np.full((B, nf), x_trash, dtype=np.int64)
+        for i, cid in enumerate(bk.cliques):
+            c = cliques[cid]
+            if c.parent >= 0 and c.separator:
+                p = cliques[c.parent]
+                pmb = mb_of[p.cid]
+                ppos = np.array([cpos(p, v) for v in c.separator], dtype=np.int64)
+                nr = len(c.separator)
+                ext[i, :nr, :nr] = (
+                    blk_base[p.cid] + ppos[:, None] * pmb + ppos[None, :]
+                )
+                extg[i, :nr] = g_base[p.cid] + ppos
+            for si, v in enumerate(c.separator):
+                sep[i, si] = v
+            for fi, v in enumerate(c.frontal):
+                fro[i, fi] = v
+        buckets.append(
+            BucketMaps(
+                level=lv_i,
+                B=B,
+                nf=nf,
+                ns=ns,
+                blk_start=boff_b,
+                g_start=goff_b,
+                ext_idx=ext.astype(np.int32),
+                extg_idx=extg.astype(np.int32),
+                sep_idx=sep.astype(np.int32),
+                fro_idx=fro.astype(np.int32),
+            )
+        )
 
+    _MAPS_UID[0] += 1
     return NumericMaps(
         plan=plan,
-        fac_F_idx=fac_F_idx,
+        n_blocks=n_blocks,
+        n_grows=n_grows,
+        batch_signs=signs,
+        slot_dims=sdims,
+        fac_blk_idx=fac_blk_idx,
         fac_g_idx=fac_g_idx,
-        slot_rows=slot_rows,
-        pad_diag_idx=pad_diag_idx,
-        var_diag_idx=var_diag,
-        ext_F_dst=ext_F_dst,
-        ext_g_dst=ext_g_dst,
-        sep_gather=sep_gather,
-        front_scatter=front_scatter,
-        F_gather=F_gather,
-        g_gather=g_gather,
-        x_size=x_size,
+        slot_gids=slot_gids,
+        eye_rows=eye_rows,
+        eye_vals=eye_vals,
+        var_diag_rows=var_diag,
+        buckets=buckets,
+        uid=_MAPS_UID[0],
     )
+
+
+def _pad_last(x, target):
+    pad = target - x.shape[-1]
+    if pad <= 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
+    """Scatter factor Hessian blocks + damping into the block pool.
+
+    Returns (pool [n_blocks+1, d*d], gp [n_grows+1, d])."""
+    plan = maps.plan
+    d = plan.d
+    dd = d * d
+    dtype = Ab[0][1].dtype
+    lam = jnp.asarray(lam, dtype=dtype)
+
+    upds, idxs, gupds, gidxs = [], [], [], []
+    for bi, (A, b) in enumerate(Ab):
+        K = len(A)
+        sign = maps.batch_signs[bi]
+        N = b.shape[0]
+        for k in range(K):
+            gk = _einsum("nri,nr->ni", A[k], b)
+            if sign != 1.0:
+                gk = gk * sign
+            gupds.append(_pad_last(gk, d))
+            gidxs.append(maps.fac_g_idx[bi][:, k])
+            for l in range(K):
+                blk = _einsum("nri,nrj->nij", A[k], A[l])
+                if sign != 1.0:
+                    blk = blk * sign
+                blk = _pad_last(
+                    jnp.pad(blk, ((0, 0), (0, d - blk.shape[1]), (0, 0))), d
+                )
+                upds.append(blk.reshape(N, dd))
+                idxs.append(maps.fac_blk_idx[bi][:, k, l])
+
+    pool = jnp.zeros((maps.n_blocks + 1, dd), dtype=dtype)
+    gp = jnp.zeros((maps.n_grows + 1, d), dtype=dtype)
+    pool = pool.at[jnp.concatenate(idxs)].add(jnp.concatenate(upds))
+    gp = gp.at[jnp.concatenate(gidxs)].add(jnp.concatenate(gupds))
+    if maps.eye_rows.size:
+        pool = pool.at[jnp.asarray(maps.eye_rows)].add(
+            jnp.asarray(maps.eye_vals, dtype=dtype)
+        )
+
+    # damping on every real variable's diagonal block
+    diag_rows = jnp.asarray(maps.var_diag_rows)
+    eye = jnp.eye(d, dtype=dtype).reshape(1, dd)
+    if diagonal_damping:
+        # diag(H) per var from the Jacobians (H's diagonal is distributed
+        # across descendant cliques, so compute it directly)
+        n = plan.n
+        hdiag = jnp.zeros((n, d), dtype=dtype)
+        for bi, (A, b) in enumerate(Ab):
+            for k in range(len(A)):
+                hk = _einsum("nri,nri->ni", A[k], A[k])
+                if maps.batch_signs[bi] != 1.0:
+                    hk = hk * maps.batch_signs[bi]
+                hdiag = hdiag.at[jnp.asarray(maps.slot_gids[bi][k])].add(
+                    _pad_last(hk, d)
+                )
+        dvals = (
+            lam * hdiag[:, :, None] * jnp.eye(d, dtype=dtype)[None]
+        ).reshape(n, dd)
+        pool = pool.at[diag_rows].add(dvals)
+    else:
+        pool = pool.at[diag_rows].add(lam * eye)
+    return pool, gp
+
+
+def _multifrontal_solve_impl(
+    maps: NumericMaps,
+    Ab,
+    lam=0.0,
+    diagonal_damping: bool = False,
+    return_stats: bool = False,
+):
+    plan = maps.plan
+    d = plan.d
+    dd = d * d
+    dtype = Ab[0][1].dtype
+    pool, gp = assemble(maps, Ab, lam, diagonal_damping)
+
+    # bottom-up: per bucket one batched partial Cholesky + extend-add
+    outs = []
+    bad_total = jnp.zeros((), jnp.int32)
+    for bm in maps.buckets:
+        B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
+        m = mb * d
+        blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
+        Fm = (
+            blocks.reshape(B, mb, mb, d, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, m, m)
+        )
+        gm = gp[bm.g_start : bm.g_start + B * mb].reshape(B, m)
+        out = kernels.partial_cholesky(Fm, gm, nf, d)
+        bad_total = bad_total + out["bad"]
+        if ns > 0:
+            Ublk = (
+                out["U"]
+                .reshape(B, ns, d, ns, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B * ns * ns, dd)
+            )
+            pool = pool.at[jnp.asarray(bm.ext_idx.reshape(-1))].add(Ublk)
+            gp = gp.at[jnp.asarray(bm.extg_idx.reshape(-1))].add(
+                out["ug"].reshape(B * ns, d)
+            )
+        outs.append(out)
+
+    # top-down back-substitution
+    x = jnp.zeros((plan.n + 1, d), dtype=dtype)
+    for bm, out in zip(reversed(maps.buckets), reversed(outs)):
+        B, nf, ns = bm.B, bm.nf, bm.ns
+        if ns > 0:
+            xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
+            rhs = out["y"] - _einsum("bfs,bs->bf", out["W"], xs)
+        else:
+            rhs = out["y"]
+        xf = kernels.backsolve_bucket(out["L"], out["Linv"], rhs, nf, d)
+        x = x.at[jnp.asarray(bm.fro_idx.reshape(-1))].set(
+            xf.reshape(B * nf, d)
+        )
+
+    # permuted rows -> global variable id order
+    xp = x[:-1]
+    xg = xp[jnp.asarray(plan.iperm)]
+    if return_stats:
+        return xg, {"bad_pivots": bad_total}
+    return xg
+
+
+def _var_g_rows(maps: NumericMaps) -> np.ndarray:
+    """g-pool row of each variable's frontal slot, in gid order.
+
+    maps.buckets is level-major in the same order as plan.levels, so the
+    i-th clique of the i-th flattened plan bucket matches BucketMaps."""
+    plan = maps.plan
+    rows = np.zeros(plan.n, dtype=np.int32)
+    flat = [bk for lv in plan.levels for bk in lv]
+    for bm, bk in zip(maps.buckets, flat):
+        for i, cid in enumerate(bk.cliques):
+            c = plan.cliques[cid]
+            gb = bm.g_start + i * bm.mb
+            for fi, pv in enumerate(c.frontal):
+                rows[plan.perm[pv]] = gb + fi
+    return rows
+
+
+def _factor_impl(maps: NumericMaps, Ab, lam=0.0):
+    """Assemble + eliminate, returning the per-bucket factors (L, Linv, W)
+    for repeated applies (the subgraph-preconditioner workhorse)."""
+    pool, gp = assemble(maps, Ab, lam, False)
+    outs = []
+    d = maps.plan.d
+    dd = d * d
+    for bm in maps.buckets:
+        B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
+        m = mb * d
+        blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
+        Fm = (
+            blocks.reshape(B, mb, mb, d, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, m, m)
+        )
+        gm = jnp.zeros((B, m), dtype=Fm.dtype)
+        out = kernels.partial_cholesky(Fm, gm, nf, d)
+        if ns > 0:
+            Ublk = (
+                out["U"]
+                .reshape(B, ns, d, ns, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B * ns * ns, dd)
+            )
+            pool = pool.at[jnp.asarray(bm.ext_idx.reshape(-1))].add(Ublk)
+        outs.append((out["L"], out["Linv"], out["W"]))
+    return outs
+
+
+def _apply_impl(maps: NumericMaps, var_g_rows, chol, r):
+    """x = H^-1 r given the factor from _factor_impl. r: [n, d] gid order."""
+    plan = maps.plan
+    d = plan.d
+    dtype = r.dtype
+    gp = jnp.zeros((maps.n_grows + 1, d), dtype=dtype)
+    gp = gp.at[jnp.asarray(var_g_rows)].set(_pad_last(r, d))
+
+    ys = []
+    for bm, (L, Linv, W) in zip(maps.buckets, chol):
+        B, nf, ns = bm.B, bm.nf, bm.ns
+        gm = gp[bm.g_start : bm.g_start + B * bm.mb].reshape(B, bm.mb * d)
+        y = kernels.forward_solve_bucket(L, Linv, gm[:, : nf * d], nf, d)
+        if ns > 0:
+            ug = gm[:, nf * d :] - _einsum("bkf,bk->bf", W, y)
+            gp = gp.at[jnp.asarray(bm.extg_idx.reshape(-1))].add(
+                ug.reshape(B * ns, d)
+            )
+        ys.append(y)
+
+    x = jnp.zeros((plan.n + 1, d), dtype=dtype)
+    for bm, (L, Linv, W), y in zip(
+        reversed(maps.buckets), reversed(chol), reversed(ys)
+    ):
+        B, nf, ns = bm.B, bm.nf, bm.ns
+        if ns > 0:
+            xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
+            rhs = y - _einsum("bfs,bs->bf", W, xs)
+        else:
+            rhs = y
+        xf = kernels.backsolve_bucket(L, Linv, rhs, nf, d)
+        x = x.at[jnp.asarray(bm.fro_idx.reshape(-1))].set(
+            xf.reshape(B * nf, d)
+        )
+    return x[:-1][jnp.asarray(plan.iperm)]
+
+
+_FACTOR_JIT_CACHE: Dict[int, any] = {}
+_APPLY_JIT_CACHE: Dict[int, any] = {}
+
+
+def multifrontal_factor(maps: NumericMaps, Ab, lam=0.0):
+    fn = _FACTOR_JIT_CACHE.get(maps.uid)
+    if fn is None:
+        fn = jax.jit(partial(_factor_impl, maps))
+        _FACTOR_JIT_CACHE[maps.uid] = fn
+    return fn(Ab, lam)
+
+
+def multifrontal_apply(maps: NumericMaps, chol, r):
+    ent = _APPLY_JIT_CACHE.get(maps.uid)
+    if ent is None:
+        rows = _var_g_rows(maps)
+        fn = jax.jit(partial(_apply_impl, maps, rows))
+        _APPLY_JIT_CACHE[maps.uid] = fn
+        ent = fn
+    return ent(chol, r)
+
+
+_SOLVE_JIT_CACHE: Dict[int, any] = {}
 
 
 def multifrontal_solve(
@@ -241,92 +576,29 @@ def multifrontal_solve(
     Ab,
     lam=0.0,
     diagonal_damping: bool = False,
+    return_stats: bool = False,
 ):
     """Solve (J^T J + lam D) x = J^T b via the planned supernodal Cholesky.
 
-    Ab: tuple over factor batches of (A_blocks tuple, b) — the arrays of a
-    LinearizedGraph (kept as a plain pytree so this function jits cleanly).
-    Returns x as [n, d] mapped back to original variable rows.
+    Ab: tuple over factor batches of (A_blocks tuple, b). Returns x [n, d]
+    in GLOBAL variable-id order (callers slice per type/dim); with
+    return_stats=True returns (x, stats) where stats['bad_pivots'] counts
+    clamped pivots (the IndeterminantLinearSystemException analog,
+    gtsam/linear/linearExceptions.h).
+
+    The implementation is jitted per plan (cached on maps.uid): eager
+    execution would retrace the per-bucket fori_loop kernels on every call.
     """
-    plan = maps.plan
-    d = plan.d
-    dtype = Ab[0][1].dtype
-    lam = jnp.asarray(lam, dtype=dtype)
-
-    F = jnp.zeros((plan.F_size,), dtype=dtype)
-    gv = jnp.zeros((plan.g_size,), dtype=dtype)
-
-    # factor Hessian-block scatter (the Scatter/updateHessian analog,
-    # HessianFactor.cpp:515)
-    for (bi, k, l, idx) in maps.fac_F_idx:
-        A, b = Ab[bi]
-        blk = jnp.einsum("ndi,ndj->nij", A[k], A[l])
-        F = F.at[jnp.asarray(idx)].add(blk)
-    for (bi, k, idx) in maps.fac_g_idx:
-        A, b = Ab[bi]
-        F_k = jnp.einsum("ndk,nd->nk", A[k], b)
-        gv = gv.at[jnp.asarray(idx)].add(F_k)
-
-    # padding identity + damping
-    F = F.at[jnp.asarray(maps.pad_diag_idx)].add(1.0)
-    diag_idx = jnp.asarray(maps.var_diag_idx.reshape(-1))
-    if diagonal_damping:
-        # diag(H) per variable from the Jacobian blocks (H's diagonal is
-        # distributed across cliques in F, so compute it directly)
-        hdiag = jnp.zeros((plan.n, d), dtype=dtype)
-        for (bi, k, rows) in maps.slot_rows:
-            A, _b = Ab[bi]
-            hdiag = hdiag.at[jnp.asarray(rows)].add(jnp.einsum("ndi,ndi->ni", A[k], A[k]))
-        hdiag_perm = hdiag[jnp.asarray(plan.perm)].reshape(-1)
-        F = F.at[diag_idx].add(lam * hdiag_perm)
-    else:
-        F = F.at[diag_idx].add(lam)
-
-    # bottom-up elimination: per level, per bucket, one batched partial chol
-    outs: List[List[Tuple]] = []
-    for li, lv in enumerate(plan.levels):
-        louts = []
-        for bi, bk in enumerate(lv):
-            fd, sd = bk.nf * d, bk.ns * d
-            Fi = jnp.asarray(maps.F_gather[li][bi])
-            gi = jnp.asarray(maps.g_gather[li][bi])
-            Fm = F[Fi]  # [B, m, m]
-            gm = gv[gi]  # [B, m]
-            F11 = Fm[:, :fd, :fd]
-            L11 = jnp.linalg.cholesky(F11)
-            y = jax.scipy.linalg.solve_triangular(L11, gm[:, :fd, None], lower=True)[
-                ..., 0
-            ]
-            if sd > 0:
-                F12 = Fm[:, :fd, fd:]
-                W = jax.scipy.linalg.solve_triangular(L11, F12, lower=True)
-                U = Fm[:, fd:, fd:] - jnp.einsum("bkf,bkg->bfg", W, W)
-                ug = gm[:, fd:] - jnp.einsum("bkf,bk->bf", W, y)
-                F = F.at[jnp.asarray(maps.ext_F_dst[li][bi])].add(U)
-                gv = gv.at[jnp.asarray(maps.ext_g_dst[li][bi])].add(ug)
-            else:
-                W = None
-            louts.append((L11, W, y))
-        outs.append(louts)
-
-    # top-down back-substitution (linearAlgorithms-inst.h:35 optimizeBayesTree)
-    x = jnp.zeros((maps.x_size,), dtype=dtype)
-    for li in range(len(plan.levels) - 1, -1, -1):
-        for bi, bk in enumerate(plan.levels[li]):
-            L11, W, y = outs[li][bi]
-            if W is not None:
-                xs = x[jnp.asarray(maps.sep_gather[li][bi])]  # [B, sd]
-                rhs = y - jnp.einsum("bfs,bs->bf", W, xs)
-            else:
-                rhs = y
-            xf = jax.scipy.linalg.solve_triangular(
-                L11, rhs[..., None], lower=True, trans=1
-            )[..., 0]
-            x = x.at[jnp.asarray(maps.front_scatter[li][bi])].set(xf)
-
-    # permuted x -> original variable rows
-    xp = x[: plan.n * d].reshape(plan.n, d)
-    return xp[jnp.asarray(plan.iperm)]
+    fn = _SOLVE_JIT_CACHE.get(maps.uid)
+    if fn is None:
+        fn = jax.jit(
+            partial(_multifrontal_solve_impl, maps),
+            static_argnames=("diagonal_damping", "return_stats"),
+        )
+        _SOLVE_JIT_CACHE[maps.uid] = fn
+    return fn(
+        Ab, lam, diagonal_damping=diagonal_damping, return_stats=return_stats
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -336,41 +608,55 @@ def multifrontal_solve(
 _PLAN_CACHE: Dict = {}
 
 
+def clear_plan_cache():
+    _PLAN_CACHE.clear()
+
+
 def solve_linearized(graph, values, lam, diagonal_damping=False, cache=None):
     """Optimizer hook (solver="multifrontal"): linearize once per outer
-    iteration (cached), then damped supernodal solves per lambda try."""
-    types = values.types()
-    if len(types) != 1:
-        raise NotImplementedError(
-            "multifrontal v1 supports one uniform variable type; "
-            "use Schur pre-elimination for mixed-dim problems"
-        )
-    t = types[0]
-    d = manifold.get(t).dim
-    cache = cache if cache is not None else {}
+    iteration (cached), then damped supernodal solves per lambda try.
 
+    Supports mixed variable types/dims: every variable gets a d_max-padded
+    tangent block (fake dims pinned by identity), the delta is sliced back
+    per type afterwards.
+    """
+    cache = cache if cache is not None else {}
     if cache.get("mf_lg") is None:
         cache["mf_lg"] = graph.linearize(values)
     lg = cache["mf_lg"]
 
+    types = sorted(lg.type_counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    d = max(dims.values())
+    offs = type_offsets(lg.type_counts)
+    n = sum(lg.type_counts.values())
+
     key = id(graph)
     ent = _PLAN_CACHE.get(key)
     if ent is None:
-        n = lg.type_counts[t]
-        plan = build_plan_for_graph(
-            [(lb.rows, t) for lb in lg.batches], n, d
-        )
-        maps = build_numeric_maps(plan, lg)
-        fn = jax.jit(
-            partial(multifrontal_solve, maps), static_argnames=("diagonal_damping",)
-        )
-        _PLAN_CACHE[key] = (plan, maps, fn)
+        structure = []
+        for lb in lg.batches:
+            gids = tuple(
+                np.asarray(r, dtype=np.int64) + offs[t]
+                for r, t in zip(lb.rows, lb.var_types)
+            )
+            structure.append(
+                BatchStructure(
+                    tuple(dims[t] for t in lb.var_types), gids, lb.sign
+                )
+            )
+        plan = build_plan_for_graph(structure, n, d)
+        var_dims = np.full(n, d, dtype=np.int64)
+        for t in types:
+            var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+        maps = build_numeric_maps(plan, structure, var_dims=var_dims)
+        _PLAN_CACHE[key] = (plan, maps)
         ent = _PLAN_CACHE[key]
-    plan, maps, fn = ent
+    plan, maps = ent
 
     Ab = tuple((lb.A, lb.b) for lb in lg.batches)
-    x = fn(Ab, lam, diagonal_damping=diagonal_damping)
-    delta = {t: x}
+    x = multifrontal_solve(maps, Ab, lam, diagonal_damping=diagonal_damping)
+    delta = {t: x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]] for t in types}
 
     # linearized cost decrease for LM rho
     from gtsam_petercdev_tpu.linear import solve as linsolve

@@ -29,38 +29,44 @@ import numpy as np
 DEFAULT_CONSTRAINED_MU = 1e4  # sqrt weight for sigma==0 rows
 
 
-def isotropic(dim: int, sigma: float, dtype=jnp.float32) -> jnp.ndarray:
-    """Isotropic(sigma): sqrt_info = I/sigma (NoiseModel.h Isotropic)."""
-    return jnp.eye(dim, dtype=dtype) / sigma
+def isotropic(dim: int, sigma: float, dtype=np.float32) -> np.ndarray:
+    """Isotropic(sigma): sqrt_info = I/sigma (NoiseModel.h Isotropic).
+
+    Host numpy on purpose (all noise constructors): sqrt_info is factor
+    data, stored host-side so jit tracing embeds it as a constant."""
+    return np.eye(dim, dtype=dtype) / sigma
 
 
-def unit(dim: int, dtype=jnp.float32) -> jnp.ndarray:
-    return jnp.eye(dim, dtype=dtype)
+def unit(dim: int, dtype=np.float32) -> np.ndarray:
+    return np.eye(dim, dtype=dtype)
 
 
-def diagonal_sigmas(sigmas, mu: float = DEFAULT_CONSTRAINED_MU) -> jnp.ndarray:
+def diagonal_sigmas(sigmas, mu: float = DEFAULT_CONSTRAINED_MU) -> np.ndarray:
     """Diagonal::Sigmas; sigma==0 rows become hard-ish constraints (weight mu)."""
-    sigmas = jnp.asarray(sigmas)
-    w = jnp.where(sigmas == 0.0, mu, 1.0 / jnp.where(sigmas == 0.0, 1.0, sigmas))
+    sigmas = np.asarray(sigmas)
+    w = np.where(sigmas == 0.0, mu, 1.0 / np.where(sigmas == 0.0, 1.0, sigmas))
     d = sigmas.shape[-1]
-    return w[..., :, None] * jnp.eye(d, dtype=sigmas.dtype)
+    return w[..., :, None] * np.eye(d, dtype=sigmas.dtype)
 
 
-def diagonal_precisions(precisions) -> jnp.ndarray:
-    p = jnp.asarray(precisions)
+def diagonal_precisions(precisions) -> np.ndarray:
+    p = np.asarray(precisions)
     d = p.shape[-1]
-    return jnp.sqrt(p)[..., :, None] * jnp.eye(d, dtype=p.dtype)
+    return np.sqrt(p)[..., :, None] * np.eye(d, dtype=p.dtype)
 
 
 def gaussian_information(info) -> jnp.ndarray:
     """Gaussian::Information — sqrt_info = chol(Info)^T so that R^T R = Info."""
     info = np.asarray(info)
+    dtype = info.dtype if info.dtype in (np.float32, np.float64) else np.float64
     info = 0.5 * (info + np.swapaxes(info, -1, -2))
     # Tolerate PSD-with-zeros information (e.g. g2o files with partial info).
     d = info.shape[-1]
-    jitter = 1e-12 * np.eye(d)
-    L = np.linalg.cholesky(info + jitter)
-    return jnp.asarray(np.swapaxes(L, -1, -2))
+    jitter = (1e-12 if dtype == np.float64 else 1e-6) * np.eye(d, dtype=dtype)
+    L = np.linalg.cholesky((info + jitter).astype(dtype))
+    # host numpy on purpose: sqrt_info is factor data, stored host-side so
+    # jit tracing embeds it as a constant without a device fetch
+    return np.swapaxes(L, -1, -2)
 
 
 def gaussian_covariance(cov) -> jnp.ndarray:

@@ -112,9 +112,15 @@ class NonlinearFactorGraph:
     ) -> "NonlinearFactorGraph":
         keys = np.asarray(keys, dtype=np.uint64).reshape(-1, len(ftype.var_types))
         n = keys.shape[0]
-        sqrt_info = jnp.asarray(sqrt_info)
+        # Factor data is stored HOST-side (numpy): it enters jitted functions
+        # as closure constants, and numpy constants embed directly into the
+        # lowered module. Device-resident constants would be fetched back
+        # from the accelerator at every trace (catastrophically slow over a
+        # remote-TPU transport).
+        params = jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+        sqrt_info = np.asarray(sqrt_info)
         if sqrt_info.ndim == 2:
-            sqrt_info = jnp.broadcast_to(
+            sqrt_info = np.broadcast_to(
                 sqrt_info, (n, ftype.resid_dim, ftype.resid_dim)
             )
         self.batches.append(FactorBatch(ftype, keys, params, sqrt_info, robust, sign))
@@ -126,19 +132,19 @@ class NonlinearFactorGraph:
         entry = self._pending.setdefault(tag, (ftype, [], [], [], robust, sign))
         entry[1].append(np.asarray(keys, dtype=np.uint64))
         entry[2].append(params)
-        entry[3].append(jnp.asarray(sqrt_info))
+        entry[3].append(np.asarray(sqrt_info))
         return self
 
     def _materialize(self):
         for (ftype, keys, params, infos, robust, sign) in self._pending.values():
             stacked_params = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=0), *params
+                lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *params
             )
             self.add_batch(
                 ftype,
                 np.stack(keys, axis=0),
                 stacked_params,
-                jnp.stack(infos, axis=0),
+                np.stack(infos, axis=0),
                 robust,
                 sign,
             )

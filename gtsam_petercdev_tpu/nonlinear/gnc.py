@@ -29,19 +29,12 @@ from gtsam_petercdev_tpu.nonlinear.values import Values
 
 
 def chi_squared_quantile(dof: float, alpha: float) -> float:
-    """Inverse chi-squared CDF by bisection on the regularized lower
-    incomplete gamma (the cephes-backed ChiSquaredInverse analog)."""
-    from jax.scipy.special import gammainc
+    """Inverse chi-squared CDF (the cephes-backed ChiSquaredInverse analog,
+    gtsam/nonlinear/internal/ChiSquaredInverse.h). Pure host computation —
+    this is setup-time scalar work, so no device round trips."""
+    from scipy.stats import chi2
 
-    k2 = dof / 2.0
-    lo, hi = 0.0, max(1000.0, 10.0 * dof)
-    for _ in range(200):
-        mid = 0.5 * (lo + hi)
-        if float(gammainc(k2, mid / 2.0)) < alpha:
-            lo = mid
-        else:
-            hi = mid
-    return 0.5 * (lo + hi)
+    return float(chi2.ppf(alpha, dof))
 
 
 @dataclass
@@ -95,13 +88,17 @@ def _weighted_assemble(graph: NonlinearFactorGraph, values: Values, weights):
             rows=lb.rows,
             A=tuple(Ak * sw[..., None] for Ak in lb.A),
             b=lb.b * sw,
+            sign=lb.sign,
         )
     return linsolve.assemble_dense(lg)
 
 
 def _weighted_error(graph: NonlinearFactorGraph, values: Values, weights):
     r2s = _factor_sq_residuals(graph, values)
-    return sum(0.5 * jnp.sum(weights[i] * r2) for i, r2 in enumerate(r2s))
+    return sum(
+        graph.batches[i].sign * 0.5 * jnp.sum(weights[i] * r2)
+        for i, r2 in enumerate(r2s)
+    )
 
 
 def _update_weights_tls(r2, mu, barc_sq):

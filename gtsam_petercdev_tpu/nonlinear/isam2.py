@@ -193,5 +193,5 @@ class ISAM2:
             maps = elimination.build_numeric_maps(plan, structure)
             self._plan = plan
             self._maps = maps
-            self._solve_fn = jax.jit(partial(elimination.multifrontal_solve, maps))
+            self._solve_fn = partial(elimination.multifrontal_solve, maps)
             self._structure_dirty = False

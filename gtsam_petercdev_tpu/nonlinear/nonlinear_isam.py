@@ -32,16 +32,23 @@ class NonlinearISAM:
         new_factors._materialize()
         for b in new_factors.batches:
             self.factors.batches.append(b)
+        # Capture the current best estimate of pre-existing variables while
+        # _delta still matches the old variable set: the reference
+        # NonlinearISAM relinearizes around the CURRENT solution
+        # (linPoint + delta), not the stale linearization point
+        # (gtsam/nonlinear/NonlinearISAM.cpp reorder_relinearize).
+        est = self.linearization_point
+        if self._delta is not None:
+            est = self.linearization_point.retract(self._delta)
         for key in new_values.keys():
-            self.linearization_point.insert(
-                key, new_values.type_of(key), new_values.at(key)
-            )
+            t, v = new_values.type_of(key), new_values.at(key)
+            if est is not self.linearization_point:
+                est.insert(key, t, v)
+            self.linearization_point.insert(key, t, v)
         self._count += 1
-        # delta was sized for the previous variable set; drop it (the branch
-        # below recomputes it, and the reorder path relinearizes anyway)
         self._delta = None
         if self._count % self.reorder_interval == 0:
-            self.reorder_relinearize()
+            self.reorder_relinearize(est)
         else:
             # linear-only update at the frozen linearization point
             lg = self.factors.linearize(self.linearization_point)
@@ -49,11 +56,12 @@ class NonlinearISAM:
             x = linsolve.dense_solve(H, g, 1e-9)
             self._delta = linsolve.unflatten_delta(lg, x)
 
-    def reorder_relinearize(self):
-        """Full relinearize: one GN pass re-centering the linearization."""
+    def reorder_relinearize(self, seed: Optional[Values] = None):
+        """Full relinearize: one GN pass re-centering the linearization,
+        seeded from the current best estimate (not the stale lin point)."""
         res = optimizers.gauss_newton(
             self.factors,
-            self.estimate(),
+            seed if seed is not None else self.estimate(),
             optimizers.OptimizerParams(max_iterations=1),
         )
         self.linearization_point = res.values

@@ -313,7 +313,7 @@ def _build_g2o_graph(vertices2, vertices3, edges2, edges3, is3D, dtype):
             graph.add_batch(
                 between_factor("Pose3"),
                 keys,
-                Pose3(jnp.asarray(Rs, dtype=dtype), jnp.asarray(ts, dtype=dtype)),
+                Pose3(Rs.astype(dtype), ts.astype(dtype)),
                 sqrt_infos,
             )
     else:
@@ -332,7 +332,7 @@ def _build_g2o_graph(vertices2, vertices3, edges2, edges3, is3D, dtype):
             graph.add_batch(
                 between_factor("Pose2"),
                 keys,
-                jnp.asarray(ms, dtype=dtype),
+                ms.astype(dtype),
                 sqrt_infos,
             )
 
