@@ -1,0 +1,1020 @@
+"""Incremental supernodal elimination — the TPU-native Bayes tree.
+
+Reference: gtsam/nonlinear/ISAM2.cpp:117-363 (recalculate),
+inference/BayesTree-inst.h:464-501 (removeTop / orphan surgery),
+ISAM2Clique.{h,cpp} (cached separator factors, wildfire back-substitution).
+
+Design (the incremental analog of inference/elimination.py's batch engine):
+
+* The Bayes tree lives as HOST records (CliqueRec: frontal/separator gids,
+  parent/children, owned factor rows) plus DEVICE pools: for each clique
+  shape class (nf, ns) one set of arrays L/Linv/W/y/U/ug with a free-list.
+  A clique's numeric payload is one row of its class pool. U/ug is the
+  cached separator factor (the message passed to the parent — exactly
+  ISAM2Clique::cachedFactor_).
+
+* update(marked, relin, new...) does the reference's removeTop: affected
+  cliques = ancestor closure of cliques containing marked keys (frontal
+  occurrence for new-factor keys, full containment-subtree for relinearized
+  keys, matching UpdateImpl fluid marking). Children of affected cliques
+  that are not themselves affected become ORPHANS; their cached (U, ug)
+  re-enter the local elimination as dense Hessian "message" factors
+  (BayesTreeOrphanWrapper / GetCachedBoundaryFactors, ISAM2.cpp:286-300).
+
+* The local problem (owned factors of affected cliques + orphan messages +
+  new factors) is eliminated by the same batched partial-Cholesky kernels
+  as the batch engine — but ALL index maps are passed as runtime ARGUMENTS,
+  so the jitted executable depends only on a padded shape signature
+  (bucket/level/factor-count classes). Repeated update shapes (the common
+  odometry step) hit the jit cache: NO recompilation in steady state.
+
+* Back-substitution is "wildfire" (ISAM2Clique.cpp:237): a host-driven
+  frontier descent from the re-eliminated cliques, batched per shape class
+  per round, that stops descending into subtrees whose separator delta
+  changed less than the threshold. threshold=0 descends fully (exact).
+
+* Variables never move: gid = insertion order; the delta lives in one
+  device array x[gid] that grows by doubling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, NamedTuple, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtsam_petercdev_tpu.inference import kernels
+from gtsam_petercdev_tpu.inference.kernels import _einsum
+from gtsam_petercdev_tpu.inference.symbolic import (
+    colamd_ordering,
+    symbolic_eliminate,
+)
+
+_PADS = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512]
+
+
+def _pad(x: int) -> int:
+    for p in _PADS:
+        if x <= p:
+            return p
+    return ((x + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# device pools
+# ---------------------------------------------------------------------------
+
+
+class PoolArrays(NamedTuple):
+    """One shape class's clique payloads; row `cap` is the zero trash row."""
+
+    L: jnp.ndarray  # [cap+1, fd, fd]
+    Linv: jnp.ndarray  # [cap+1, nf, d, d]
+    W: jnp.ndarray  # [cap+1, fd, sd]
+    y: jnp.ndarray  # [cap+1, fd]
+    U: jnp.ndarray  # [cap+1, sd, sd]
+    ug: jnp.ndarray  # [cap+1, sd]
+
+
+@dataclass
+class PoolClass:
+    nf: int
+    ns: int
+    cap: int
+    arrays: PoolArrays
+    free: List[int] = field(default_factory=list)
+    top: int = 0
+
+    def alloc(self) -> int:
+        if self.free:
+            return self.free.pop()
+        if self.top >= self.cap:
+            return -1  # caller grows
+        r = self.top
+        self.top += 1
+        return r
+
+
+def _make_pool(nf, ns, d, cap, dtype) -> PoolArrays:
+    fd, sd = nf * d, ns * d
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
+    return PoolArrays(
+        L=z(cap + 1, fd, fd),
+        Linv=z(cap + 1, nf, d, d),
+        W=z(cap + 1, fd, sd),
+        y=z(cap + 1, fd),
+        U=z(cap + 1, sd, sd),
+        ug=z(cap + 1, sd),
+    )
+
+
+def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:
+    new_cap = max(8, p.cap * 2)
+    na = _make_pool(p.nf, p.ns, d, new_cap, dtype)
+    na = PoolArrays(*[
+        a.at[: p.cap].set(b[: p.cap]) for a, b in zip(na, p.arrays)
+    ])
+    return PoolClass(p.nf, p.ns, new_cap, na, p.free, p.top)
+
+
+# ---------------------------------------------------------------------------
+# host records
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CliqueRec:
+    cid: int
+    cls: Tuple[int, int]  # (nf, ns) pool class
+    row: int  # pool row
+    frontal: List[int]  # gids, elimination order
+    separator: List[int]  # gids, local-plan position order
+    parent: int = -1  # cid
+    children: Set[int] = field(default_factory=set)
+    owned_fac: List[Tuple[int, int]] = field(default_factory=list)  # (grp,row)
+    owned_msg: List[int] = field(default_factory=list)  # persistent msg ids
+    alive: bool = True
+
+
+@dataclass
+class FactorGroup:
+    """Device store of one linear-factor family's cached linearization."""
+
+    gid: int
+    K: int
+    dims: Tuple[int, ...]
+    sign: float
+    cap: int
+    A: Tuple[jnp.ndarray, ...]  # per slot [cap+1, d, dim_k]
+    b: jnp.ndarray  # [cap+1, d]
+    keys: np.ndarray  # [cap, K] gids (host)
+    n: int = 0
+
+
+@dataclass
+class MsgRec:
+    """Persistent marginal factor (marginalizeLeaves output)."""
+
+    mid: int
+    ns: int  # pool class
+    row: int  # row in the engine's msg pool for class ns
+    scope: List[int]  # gids (first ns_real entries real, rest pad)
+    alive: bool = True
+
+
+# ---------------------------------------------------------------------------
+# jitted primitives (cached per static signature)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _scatter_pool_jit(B, nf, ns, d, cap):
+    def f(pool: PoolArrays, rows, out):
+        return PoolArrays(
+            L=pool.L.at[rows].set(out["L"]),
+            Linv=pool.Linv.at[rows].set(out["Linv"]),
+            W=pool.W.at[rows].set(out["W"]),
+            y=pool.y.at[rows].set(out["y"]),
+            U=pool.U.at[rows].set(out["U"]),
+            ug=pool.ug.at[rows].set(out["ug"]),
+        )
+
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _gather_msgs_jit(M, ns, d, cap):
+    def f(U, ug, rows):
+        return U[rows], ug[rows]
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _gather_fac_jit(K, dims, d, cap, N):
+    def f(A, b, rows):
+        return tuple(Ak[rows] for Ak in A), b[rows]
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _copy_msg_jit(ns, d, src_cap, dst_cap):
+    def f(dstU, dstug, drows, srcU, srcug, srows):
+        return dstU.at[drows].set(srcU[srows]), dstug.at[drows].set(srcug[srows])
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+@lru_cache(maxsize=None)
+def _wild_jit(B, nf, ns, d, cap, xcap):
+    """One wildfire round for one shape class: gather clique factors,
+    back-substitute given parent x, write frontal x, report change."""
+
+    def f(pool: PoolArrays, rows, sep_idx, fro_idx, valid, x):
+        Lg, Linvg, Wg, yg = pool.L[rows], pool.Linv[rows], pool.W[rows], pool.y[rows]
+        if ns > 0:
+            xs = x[sep_idx].reshape(B, ns * d)
+            rhs = yg - _einsum("bfs,bs->bf", Wg, xs)
+        else:
+            rhs = yg
+        xf = kernels.backsolve_bucket(Lg, Linvg, rhs, nf, d)
+        xold = x[fro_idx].reshape(B, nf * d)
+        change = jnp.max(jnp.abs(xf - xold), axis=1) * valid
+        xnew = x.at[fro_idx.reshape(-1)].set(xf.reshape(B * nf, d))
+        return xnew, change
+
+    return jax.jit(f, donate_argnums=5)
+
+
+@lru_cache(maxsize=None)
+def _eliminate_jit(cfg):
+    """The local multifrontal eliminate with index maps as ARGUMENTS.
+
+    cfg = (d, groups, msg_sigs, buckets, n_eye) where
+      groups:   tuple of (K, dims, sign, N_pad) factor-gather groups
+      msg_sigs: tuple of (ns_class, M_pad) message classes
+      buckets:  tuple of (B_pad, nf, ns) one per level, bottom-up
+    Returns the per-bucket partial-Cholesky outputs (to scatter into pools).
+    """
+    d, groups, msg_sigs, buckets, n_eye = cfg
+    dd = d * d
+    n_blocks = sum(B * (nf + ns) ** 2 for (B, nf, ns) in buckets)
+    n_grows = sum(B * (nf + ns) for (B, nf, ns) in buckets)
+
+    def f(fac_args, msg_args, eye_rows, eye_vals, ext_args):
+        dtype = eye_vals.dtype
+        pool = jnp.zeros((n_blocks + 1, dd), dtype=dtype)
+        gp = jnp.zeros((n_grows + 1, d), dtype=dtype)
+
+        upds, idxs, gupds, gidxs = [], [], [], []
+        for (K, dims, sign, N), (A, b, blk, gix) in zip(groups, fac_args):
+            for k in range(K):
+                gk = _einsum("nri,nr->ni", A[k], b)
+                if sign != 1.0:
+                    gk = gk * sign
+                pk = d - gk.shape[-1]
+                gupds.append(jnp.pad(gk, ((0, 0), (0, pk))) if pk else gk)
+                gidxs.append(gix[:, k])
+                for l in range(K):
+                    v = _einsum("nri,nrj->nij", A[k], A[l])
+                    if sign != 1.0:
+                        v = v * sign
+                    v = jnp.pad(
+                        v, ((0, 0), (0, d - v.shape[1]), (0, d - v.shape[2]))
+                    )
+                    upds.append(v.reshape(N, dd))
+                    idxs.append(blk[:, k, l])
+        if idxs:
+            pool = pool.at[jnp.concatenate(idxs)].add(jnp.concatenate(upds))
+            gp = gp.at[jnp.concatenate(gidxs)].add(jnp.concatenate(gupds))
+
+        for (nsc, M), (U, ug, blk, gix) in zip(msg_sigs, msg_args):
+            Ub = (
+                U.reshape(M, nsc, d, nsc, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(M * nsc * nsc, dd)
+            )
+            pool = pool.at[blk.reshape(-1)].add(Ub)
+            gp = gp.at[gix.reshape(-1)].add(ug.reshape(M * nsc, d))
+
+        pool = pool.at[eye_rows].add(eye_vals)
+
+        outs = []
+        bad = jnp.zeros((), jnp.int32)
+        boff = goff = 0
+        for (B, nf, ns), (ext_idx, extg_idx) in zip(buckets, ext_args):
+            mb = nf + ns
+            m = mb * d
+            blocks = pool[boff : boff + B * mb * mb]
+            Fm = (
+                blocks.reshape(B, mb, mb, d, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, m, m)
+            )
+            gm = gp[goff : goff + B * mb].reshape(B, m)
+            out = kernels.partial_cholesky(Fm, gm, nf, d)
+            bad = bad + out["bad"]
+            if ns > 0:
+                Ublk = (
+                    out["U"]
+                    .reshape(B, ns, d, ns, d)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(B * ns * ns, dd)
+                )
+                pool = pool.at[ext_idx.reshape(-1)].add(Ublk)
+                gp = gp.at[extg_idx.reshape(-1)].add(out["ug"].reshape(B * ns, d))
+            outs.append(out)
+            boff += B * mb * mb
+            goff += B * mb
+        return outs, bad
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+
+class IncrementalEngine:
+    """Linear-level incremental multifrontal solver (GaussianISAM analog).
+
+    The nonlinear wrapper (nonlinear/isam2.py) owns linearization points and
+    relinearization policy; this engine owns the Bayes tree, cached linear
+    factors, and the delta vector x [n, d] (gid order, padded to d)."""
+
+    def __init__(self, d: int, dtype=jnp.float64):
+        self.d = d
+        self.dtype = dtype
+        self.n = 0  # variables (gids 0..n-1)
+        self.var_dims = np.zeros(0, dtype=np.int64)
+        self.xcap = 16
+        self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
+        self.pools: Dict[Tuple[int, int], PoolClass] = {}
+        self.msg_pools: Dict[int, PoolClass] = {}  # persistent marginals
+        self.cliques: List[Optional[CliqueRec]] = []
+        self.var_clique: Dict[int, int] = {}  # gid -> cid (frontal owner)
+        self.groups: List[FactorGroup] = []
+        self._group_key: Dict[Tuple, int] = {}
+        self.var_factors: Dict[int, List[Tuple[int, int]]] = {}  # gid->[(g,row)]
+        self.msgs: List[Optional[MsgRec]] = []
+        self.var_msgs: Dict[int, List[int]] = {}  # gid -> [mid] (scope index)
+        self.last_bad_pivots = 0
+
+    # -- variables / factors ------------------------------------------------
+
+    def add_variables(self, dims: Sequence[int]) -> List[int]:
+        gids = list(range(self.n, self.n + len(dims)))
+        self.n += len(dims)
+        self.var_dims = np.concatenate(
+            [self.var_dims, np.asarray(dims, dtype=np.int64)]
+        )
+        while self.n > self.xcap:
+            self.xcap *= 2
+            nx = jnp.zeros((self.xcap + 1, self.d), dtype=self.dtype)
+            self.x = nx.at[: self.x.shape[0] - 1].set(self.x[:-1])
+        return gids
+
+    def group_for(self, key: Tuple, K: int, dims: Tuple[int, ...], sign: float) -> int:
+        g = self._group_key.get(key)
+        if g is not None:
+            return g
+        g = len(self.groups)
+        cap = 16
+        d = self.d
+        self.groups.append(
+            FactorGroup(
+                gid=g,
+                K=K,
+                dims=tuple(dims),
+                sign=float(sign),
+                cap=cap,
+                A=tuple(
+                    jnp.zeros((cap + 1, d, dk), dtype=self.dtype) for dk in dims
+                ),
+                b=jnp.zeros((cap + 1, d), dtype=self.dtype),
+                keys=np.zeros((cap, K), dtype=np.int64),
+            )
+        )
+        self._group_key[key] = g
+        return g
+
+    def _grow_group(self, fg: FactorGroup, need: int):
+        cap = fg.cap
+        while cap < need:
+            cap *= 2
+        d = self.d
+        A = tuple(
+            jnp.zeros((cap + 1, d, dk), dtype=self.dtype)
+            .at[: fg.cap]
+            .set(Ak[: fg.cap])
+            for dk, Ak in zip(fg.dims, fg.A)
+        )
+        b = jnp.zeros((cap + 1, d), dtype=self.dtype).at[: fg.cap].set(fg.b[: fg.cap])
+        keys = np.zeros((cap, fg.K), dtype=np.int64)
+        keys[: fg.n] = fg.keys[: fg.n]
+        fg.A, fg.b, fg.keys, fg.cap = A, b, keys, cap
+
+    def add_factors(self, g: int, gids: np.ndarray, A, b) -> List[int]:
+        """Append factor rows with their (already whitened) linearization."""
+        fg = self.groups[g]
+        nnew = gids.shape[0]
+        if fg.n + nnew > fg.cap:
+            self._grow_group(fg, fg.n + nnew)
+        rows = list(range(fg.n, fg.n + nnew))
+        fg.keys[fg.n : fg.n + nnew] = gids
+        self.set_factor_rows(g, rows, A, b)
+        fg.n += nnew
+        for i, r in enumerate(rows):
+            for k in range(fg.K):
+                self.var_factors.setdefault(int(gids[i, k]), []).append((g, r))
+        return rows
+
+    def set_factor_rows(self, g: int, rows, A, b):
+        """Overwrite cached linearization of existing rows (relinearize)."""
+        fg = self.groups[g]
+        idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
+        fg.A = tuple(
+            Ak.at[idx].set(jnp.asarray(Anew, dtype=self.dtype))
+            for Ak, Anew in zip(fg.A, A)
+        )
+        fg.b = fg.b.at[idx].set(jnp.asarray(b, dtype=self.dtype))
+
+    # -- affected-set computation (removeTop) --------------------------------
+
+    def _cliques_containing(self, gid: int) -> List[int]:
+        """All live cliques whose scope contains gid: the containment subtree
+        rooted at gid's frontal clique (BayesTree subtree property)."""
+        c0 = self.var_clique.get(gid)
+        if c0 is None:
+            return []
+        out, stack = [], [c0]
+        while stack:
+            cid = stack.pop()
+            out.append(cid)
+            for ch in self.cliques[cid].children:
+                if gid in self.cliques[ch].separator:
+                    stack.append(ch)
+        return out
+
+    def _affected_set(self, marked: Set[int], relin: Set[int]) -> Set[int]:
+        aff: Set[int] = set()
+        seeds: Set[int] = set()
+        for gid in marked:
+            c = self.var_clique.get(gid)
+            if c is not None:
+                seeds.add(c)
+        for gid in relin:
+            seeds.update(self._cliques_containing(gid))
+        for cid in seeds:
+            while cid >= 0 and cid not in aff:
+                aff.add(cid)
+                cid = self.cliques[cid].parent
+        return aff
+
+    # -- the update -----------------------------------------------------------
+
+    def update(
+        self,
+        new_keys: Sequence[int] = (),
+        new_fac_units: Sequence[Tuple[int, int]] = (),
+        marked: Set[int] = frozenset(),
+        relin: Set[int] = frozenset(),
+        first: Sequence[int] = (),
+        wildfire_threshold: float = 0.0,
+    ) -> Dict:
+        """Re-eliminate the affected top of the tree (ISAM2::recalculate).
+
+        new_keys: gids entering the tree this update (ordered LAST —
+        ColamdConstrainedLast, inference/Ordering.cpp:128).
+        new_fac_units: (group, row) factor rows added this update.
+        marked: existing gids touched by new factors (removeTop marking).
+        relin: gids whose linearization changed (fluid containment marking).
+        first: gids to order FIRST (marginalization staging).
+        """
+        new_keys = [g for g in new_keys if g not in self.var_clique]
+        aff = self._affected_set(set(marked) | set(relin), set(relin))
+
+        orphan_cids: List[int] = []
+        fac_units: Set[Tuple[int, int]] = set(new_fac_units)
+        msg_ids: List[int] = []
+        local_vars: List[int] = list(new_keys)
+        for cid in aff:
+            c = self.cliques[cid]
+            local_vars.extend(c.frontal)
+            fac_units.update(c.owned_fac)
+            msg_ids.extend(mid for mid in c.owned_msg if self.msgs[mid].alive)
+            for ch in c.children:
+                if ch not in aff:
+                    orphan_cids.append(ch)
+        stats = self._reeliminate(
+            sorted(set(local_vars)),
+            sorted(fac_units),
+            sorted(set(msg_ids)),
+            sorted(orphan_cids),
+            aff,
+            new_last=list(new_keys),
+            first=list(first),
+            wildfire_threshold=wildfire_threshold,
+        )
+        stats["n_affected_cliques"] = len(aff)
+        stats["n_orphans"] = len(orphan_cids)
+        return stats
+
+    # -- local elimination ------------------------------------------------------
+
+    def _reeliminate(
+        self,
+        local_vars: List[int],
+        fac_units: List[Tuple[int, int]],
+        msg_ids: List[int],
+        orphan_cids: List[int],
+        dead: Set[int],
+        new_last: List[int],
+        first: List[int],
+        wildfire_threshold: float = 0.0,
+    ) -> Dict:
+        d = self.d
+        m = len(local_vars)
+        if m == 0:
+            return {"n_reeliminated": 0, "bad_pivots": 0}
+        lid = {g: i for i, g in enumerate(local_vars)}
+
+        # ---- symbolic structure: factors + orphan msgs + persistent msgs ----
+        per_group: Dict[int, List[int]] = {}
+        for (g, r) in fac_units:
+            per_group.setdefault(g, []).append(r)
+        factor_vars = []
+        fac_entries = []  # (g, rows[N], lids[N,K])
+        for g in sorted(per_group):
+            fg = self.groups[g]
+            rows = np.asarray(sorted(set(per_group[g])), dtype=np.int64)
+            lids = np.empty((len(rows), fg.K), dtype=np.int64)
+            for i, r in enumerate(rows):
+                for k in range(fg.K):
+                    lids[i, k] = lid[int(fg.keys[r, k])]
+            factor_vars.append(lids)
+            fac_entries.append((g, rows, lids))
+        msg_entries = []  # (src, pool_key, row, scope_lids, scope_gids)
+        for cid in orphan_cids:
+            c = self.cliques[cid]
+            sc = np.asarray([lid[g] for g in c.separator], dtype=np.int64)
+            factor_vars.append(sc[None, :])
+            msg_entries.append(("clq", c.cls, c.row, sc))
+        for mid in msg_ids:
+            mr = self.msgs[mid]
+            sc = np.asarray([lid[g] for g in mr.scope], dtype=np.int64)
+            factor_vars.append(sc[None, :])
+            msg_entries.append(("msg", mr.ns, mr.row, sc))
+
+        # ---- ordering: [first | colamd middle | new_last] ----
+        edge_list = []
+        for fv in factor_vars:
+            K = fv.shape[1]
+            for a in range(K):
+                for b_ in range(a + 1, K):
+                    edge_list.append(np.stack([fv[:, a], fv[:, b_]], axis=1))
+        edges = (
+            np.concatenate(edge_list, axis=0)
+            if edge_list
+            else np.zeros((0, 2), np.int64)
+        )
+        base = colamd_ordering(m, edges)
+        first_l = {lid[g] for g in first if g in lid}
+        last_l = {lid[g] for g in new_last if g in lid} - first_l
+        order = np.asarray(
+            [v for v in base if v in first_l]
+            + [v for v in base if v not in first_l and v not in last_l]
+            + [v for v in base if v in last_l],
+            dtype=np.int64,
+        )
+        barrier = first_l if first_l else None
+        plan = symbolic_eliminate(
+            m, factor_vars, d, ordering=order, max_buckets_per_level=1,
+            no_merge_across=barrier,
+        )
+
+        # ---- layout: one padded bucket per level + dummy levels ----
+        iperm = plan.iperm
+        cliques = plan.cliques
+        for c in cliques:
+            c._fpos = {v: i for i, v in enumerate(c.frontal)}
+            c._spos = {v: i for i, v in enumerate(c.separator)}
+
+        def cpos(c, pv):
+            p = c._fpos.get(pv)
+            return p if p is not None else c.bucket[0] + c._spos[pv]
+
+        real_buckets = [(lv[0], _pad(len(lv[0].cliques))) for lv in plan.levels]
+        n_levels_pad = _pad(max(1, len(real_buckets)))
+        bucket_sig = tuple((Bp, bk.nf, bk.ns) for bk, Bp in real_buckets) + tuple(
+            (1, 1, 0) for _ in range(n_levels_pad - len(real_buckets))
+        )
+
+        blk_base = np.zeros(len(cliques), dtype=np.int64)
+        g_base = np.zeros(len(cliques), dtype=np.int64)
+        mb_of = np.zeros(len(cliques), dtype=np.int64)
+        boff = goff = 0
+        dummy_diag_rows = []
+        for (bk, Bp) in real_buckets:
+            mb = bk.nf + bk.ns
+            for i, cid in enumerate(bk.cliques):
+                blk_base[cid] = boff + i * mb * mb
+                g_base[cid] = goff + i * mb
+                mb_of[cid] = mb
+            # pad cliques of this bucket get identity frontal diagonals
+            for i in range(len(bk.cliques), Bp):
+                for j in range(bk.nf):
+                    dummy_diag_rows.append(boff + i * mb * mb + j * mb + j)
+            boff += Bp * mb * mb
+            goff += Bp * mb
+        for _ in range(n_levels_pad - len(real_buckets)):
+            dummy_diag_rows.append(boff)
+            boff += 1
+            goff += 1
+        n_blocks, n_grows = boff, goff
+        trash_blk, trash_g = n_blocks, n_grows
+
+        # ---- factor gather args + scatter maps + ownership ----
+        own_fac: Dict[int, List[Tuple[int, int]]] = {}
+        own_msg: Dict[int, List[int]] = {}
+        groups_sig, fac_args = [], []
+        for (g, rows, lids) in fac_entries:
+            fg = self.groups[g]
+            N, K = lids.shape
+            Np = _pad(N)
+            pvs = iperm[lids]
+            own = plan.var_clique[pvs.min(axis=1)]
+            blk = np.full((Np, K, K), trash_blk, dtype=np.int64)
+            gix = np.full((Np, K), trash_g, dtype=np.int64)
+            pos = np.empty((N, K), dtype=np.int64)
+            for i in range(N):
+                c = cliques[own[i]]
+                for k in range(K):
+                    pos[i, k] = cpos(c, pvs[i, k])
+                own_fac.setdefault(int(own[i]), []).append((g, int(rows[i])))
+            for k in range(K):
+                for l in range(K):
+                    blk[:N, k, l] = (
+                        blk_base[own] + pos[:, k] * mb_of[own] + pos[:, l]
+                    )
+                gix[:N, k] = g_base[own] + pos[:, k]
+            rows_p = np.full(Np, fg.cap, dtype=np.int32)
+            rows_p[:N] = rows
+            A, b = _gather_fac_jit(K, fg.dims, d, fg.cap, Np)(
+                fg.A, fg.b, jnp.asarray(rows_p)
+            )
+            groups_sig.append((K, fg.dims, fg.sign, Np))
+            fac_args.append(
+                (A, b, jnp.asarray(blk.astype(np.int32)),
+                 jnp.asarray(gix.astype(np.int32)))
+            )
+
+        # ---- message gather args + scatter maps ----
+        by_class: Dict[Tuple, List[int]] = {}
+        for i, (src, pkey, row, sc) in enumerate(msg_entries):
+            nsc = pkey[1] if src == "clq" else pkey
+            by_class.setdefault((src, pkey, nsc), []).append(i)
+        msg_sigs, msg_args = [], []
+        for (src, pkey, nsc), idxs in sorted(
+            by_class.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+        ):
+            M = len(idxs)
+            Mp = _pad(M)
+            if src == "clq":
+                pc = self.pools[pkey]
+            else:
+                pc = self.msg_pools[pkey]
+            rows_p = np.full(Mp, pc.cap, dtype=np.int32)
+            blk = np.full((Mp, nsc, nsc), trash_blk, dtype=np.int64)
+            gix = np.full((Mp, nsc), trash_g, dtype=np.int64)
+            for mi, ei in enumerate(idxs):
+                _, _, row, sc = msg_entries[ei]
+                rows_p[mi] = row
+                pv = iperm[sc]
+                ownc = cliques[plan.var_clique[pv.min()]]
+                ps = np.asarray([cpos(ownc, p) for p in pv], dtype=np.int64)
+                nr = len(sc)
+                blk[mi, :nr, :nr] = (
+                    blk_base[ownc.cid] + ps[:, None] * mb_of[ownc.cid] + ps[None, :]
+                )
+                gix[mi, :nr] = g_base[ownc.cid] + ps
+                if src == "msg":
+                    own_msg.setdefault(int(ownc.cid), []).append(
+                        msg_ids[ei - len(orphan_cids)]
+                    )
+            U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
+                pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
+            )
+            msg_sigs.append((nsc, Mp))
+            msg_args.append(
+                (U, ug, jnp.asarray(blk.astype(np.int32)),
+                 jnp.asarray(gix.astype(np.int32)))
+            )
+
+        # ---- identity padding rows ----
+        dd = d * d
+        eye_rows, eye_vals = list(dummy_diag_rows), []
+        eye_flat = np.eye(d).reshape(-1)
+        eye_vals.extend([eye_flat] * len(dummy_diag_rows))
+        for c in cliques:
+            nf_pad = c.bucket[0]
+            mb = mb_of[c.cid]
+            for i in range(len(c.frontal), nf_pad):
+                eye_rows.append(blk_base[c.cid] + i * mb + i)
+                eye_vals.append(eye_flat)
+            for i, pv in enumerate(c.frontal):
+                dv = int(self.var_dims[local_vars[plan.perm[pv]]])
+                if dv < d:
+                    v = np.zeros((d, d))
+                    v[np.arange(dv, d), np.arange(dv, d)] = 1.0
+                    eye_rows.append(blk_base[c.cid] + i * mb + i)
+                    eye_vals.append(v.reshape(-1))
+        P = len(eye_rows)
+        Pp = _pad(max(1, P))
+        eye_rows_np = np.full(Pp, trash_blk, dtype=np.int32)
+        eye_rows_np[:P] = eye_rows
+        eye_vals_np = np.zeros((Pp, dd))
+        if P:
+            eye_vals_np[:P] = np.stack(eye_vals)
+
+        # ---- extend-add maps ----
+        ext_args = []
+        for (bk, Bp) in real_buckets:
+            nf, ns = bk.nf, bk.ns
+            ext = np.full((Bp, ns, ns), trash_blk, dtype=np.int64)
+            extg = np.full((Bp, ns), trash_g, dtype=np.int64)
+            for i, cid in enumerate(bk.cliques):
+                c = cliques[cid]
+                if c.parent >= 0 and c.separator:
+                    p = cliques[c.parent]
+                    ppos = np.asarray(
+                        [cpos(p, v) for v in c.separator], dtype=np.int64
+                    )
+                    nr = len(c.separator)
+                    ext[i, :nr, :nr] = (
+                        blk_base[p.cid]
+                        + ppos[:, None] * mb_of[p.cid]
+                        + ppos[None, :]
+                    )
+                    extg[i, :nr] = g_base[p.cid] + ppos
+            ext_args.append(
+                (jnp.asarray(ext.astype(np.int32)),
+                 jnp.asarray(extg.astype(np.int32)))
+            )
+        for _ in range(n_levels_pad - len(real_buckets)):
+            ext_args.append(
+                (jnp.zeros((1, 0, 0), jnp.int32), jnp.zeros((1, 0), jnp.int32))
+            )
+
+        # ---- run the eliminate kernel ----
+        cfg = (d, tuple(groups_sig), tuple(msg_sigs), bucket_sig, Pp)
+        outs, bad = _eliminate_jit(cfg)(
+            tuple(fac_args),
+            tuple(msg_args),
+            jnp.asarray(eye_rows_np),
+            jnp.asarray(eye_vals_np, dtype=self.dtype),
+            tuple(ext_args),
+        )
+
+        # ---- retire dead cliques, free pool rows ----
+        for cid in dead:
+            c = self.cliques[cid]
+            c.alive = False
+            self.pools[c.cls].free.append(c.row)
+            self.cliques[cid] = None
+
+        # ---- create new clique records + scatter payloads into pools ----
+        new_by_level: List[List[int]] = []
+        local2global: Dict[int, int] = {}
+        for li, (bk, Bp) in enumerate(real_buckets):
+            cls = (bk.nf, bk.ns)
+            pc = self.pools.get(cls)
+            if pc is None:
+                pc = PoolClass(bk.nf, bk.ns, 0, _make_pool(bk.nf, bk.ns, d, 0, self.dtype))
+                self.pools[cls] = pc
+            rows_np = np.full(Bp, 0, dtype=np.int32)
+            lv_cids = []
+            for i, cid in enumerate(bk.cliques):
+                r = pc.alloc()
+                while r < 0:
+                    self.pools[cls] = pc = _grow_pool(pc, d, self.dtype)
+                    r = pc.alloc()
+                rows_np[i] = r
+                c = cliques[cid]
+                gcid = len(self.cliques)
+                rec = CliqueRec(
+                    cid=gcid,
+                    cls=cls,
+                    row=r,
+                    frontal=[local_vars[plan.perm[v]] for v in c.frontal],
+                    separator=[local_vars[plan.perm[v]] for v in c.separator],
+                    owned_fac=own_fac.get(cid, []),
+                    owned_msg=own_msg.get(cid, []),
+                )
+                self.cliques.append(rec)
+                local2global[cid] = gcid
+                lv_cids.append(gcid)
+                for gid in rec.frontal:
+                    self.var_clique[gid] = gcid
+            rows_np[len(bk.cliques):] = pc.cap  # trash
+            self.pools[cls] = PoolClass(
+                pc.nf, pc.ns, pc.cap,
+                _scatter_pool_jit(Bp, bk.nf, bk.ns, d, pc.cap)(
+                    pc.arrays, jnp.asarray(rows_np), outs[li]
+                ),
+                pc.free, pc.top,
+            )
+            new_by_level.append(lv_cids)
+
+        # ---- wire the tree: parents/children of new cliques + orphans ----
+        for li, (bk, Bp) in enumerate(real_buckets):
+            for cid in bk.cliques:
+                gcid = local2global[cid]
+                c = cliques[cid]
+                if c.parent >= 0:
+                    pg = local2global[c.parent]
+                    self.cliques[gcid].parent = pg
+                    self.cliques[pg].children.add(gcid)
+        for cid in orphan_cids:
+            c = self.cliques[cid]
+            pv = min(iperm[lid[g]] for g in c.separator)
+            pg = local2global[plan.var_clique[pv]]
+            c.parent = pg
+            self.cliques[pg].children.add(cid)
+
+        # ---- wildfire back-substitution from the new cliques ----
+        n_rounds = self._wildfire(new_by_level, wildfire_threshold)
+        return {
+            "n_reeliminated": len(cliques),
+            "bad_pivots": bad,
+            "wildfire_rounds": n_rounds,
+        }
+
+    # -- wildfire ---------------------------------------------------------------
+
+    def _wild_round(self, cids: List[int]) -> Dict[int, float]:
+        """Back-substitute one frontier of cliques (parents all solved)."""
+        d = self.d
+        by_cls: Dict[Tuple[int, int], List[int]] = {}
+        for cid in cids:
+            by_cls.setdefault(self.cliques[cid].cls, []).append(cid)
+        changes: Dict[int, float] = {}
+        for cls, group in sorted(by_cls.items()):
+            nf, ns = cls
+            pc = self.pools[cls]
+            B = _pad(len(group))
+            rows = np.full(B, pc.cap, dtype=np.int32)
+            sep_idx = np.full((B, ns), self.xcap, dtype=np.int32)
+            fro_idx = np.full((B, nf), self.xcap, dtype=np.int32)
+            valid = np.zeros(B, dtype=np.float32)
+            for i, cid in enumerate(group):
+                c = self.cliques[cid]
+                rows[i] = c.row
+                for si, gid in enumerate(c.separator):
+                    sep_idx[i, si] = gid
+                for fi, gid in enumerate(c.frontal):
+                    fro_idx[i, fi] = gid
+                valid[i] = 1.0
+            fn = _wild_jit(B, nf, ns, d, pc.cap, self.xcap)
+            self.x, chg = fn(
+                pc.arrays,
+                jnp.asarray(rows),
+                jnp.asarray(sep_idx),
+                jnp.asarray(fro_idx),
+                jnp.asarray(valid, dtype=self.dtype),
+                self.x,
+            )
+            chg = np.asarray(chg)
+            for i, cid in enumerate(group):
+                changes[cid] = float(chg[i])
+        return changes
+
+    def _wildfire(self, new_by_level: List[List[int]], threshold: float) -> int:
+        """Frontier descent: new cliques top-down (forced), then into old
+        subtrees while the separator delta keeps changing by > threshold
+        (ISAM2Clique::optimizeWildfireNode semantics)."""
+        dirty: Set[int] = set()
+        new_set = {cid for lv in new_by_level for cid in lv}
+        n_rounds = 0
+        candidates: List[int] = []
+        for lv_cids in reversed(new_by_level):  # top level last in plan order
+            if not lv_cids:
+                continue
+            changes = self._wild_round(lv_cids)
+            n_rounds += 1
+            for cid, chg in changes.items():
+                if chg > threshold:
+                    dirty.update(self.cliques[cid].frontal)
+                for ch in self.cliques[cid].children:
+                    if ch not in new_set:
+                        candidates.append(ch)
+        frontier = [
+            ch
+            for ch in dict.fromkeys(candidates)
+            if any(v in dirty for v in self.cliques[ch].separator)
+        ]
+        while frontier:
+            changes = self._wild_round(frontier)
+            n_rounds += 1
+            nxt: List[int] = []
+            for cid, chg in changes.items():
+                if chg > threshold:
+                    dirty.update(self.cliques[cid].frontal)
+            for cid in frontier:
+                for ch in self.cliques[cid].children:
+                    if any(v in dirty for v in self.cliques[ch].separator):
+                        nxt.append(ch)
+            frontier = nxt
+        return n_rounds
+
+    # -- delta access -------------------------------------------------------------
+
+    def delta_rows(self, gids: np.ndarray, dim: int) -> jnp.ndarray:
+        """Gather delta rows [len(gids), dim] for a set of variables."""
+        return self.x[jnp.asarray(np.asarray(gids, dtype=np.int32)), :dim]
+
+    def zero_delta_rows(self, gids):
+        idx = jnp.asarray(np.asarray(gids, dtype=np.int32))
+        self.x = self.x.at[idx].set(0.0)
+
+    def var_max_delta(self) -> np.ndarray:
+        """max|delta| per gid (for relinearization marking)."""
+        return np.asarray(jnp.max(jnp.abs(self.x[: self.n]), axis=1))
+
+    # -- marginalization ------------------------------------------------------------
+
+    def marginalize_leaves(self, gids: Sequence[int]) -> None:
+        """Marginalize variables out of the tree (ISAM2::marginalizeLeaves,
+        gtsam/nonlinear/ISAM2.cpp:487-724).
+
+        Two phases: (1) an update() with the marginalized vars constrained
+        FIRST and supernode merging barred across the marg/live boundary, so
+        afterwards every marg var is frontal in a leaf-most, pure-marg clique;
+        (2) those cliques are deleted and their cached separator messages
+        (U, ug) become persistent marginal factors on the live separator —
+        the LinearContainerFactor analog."""
+        gids = [g for g in gids if self.var_clique.get(g) is not None]
+        if not gids:
+            return
+        gset = set(gids)
+        self.update(marked=gset, relin=gset, first=gids)
+
+        # collect pure-marg cliques (leaf-most by construction)
+        dead: List[CliqueRec] = []
+        for g in gids:
+            cid = self.var_clique.get(g)
+            if cid is None:
+                continue
+            c = self.cliques[cid]
+            if not all(v in gset for v in c.frontal):
+                raise RuntimeError(
+                    f"marginalize_leaves: clique {cid} mixes live vars "
+                    f"{[v for v in c.frontal if v not in gset]}"
+                )
+            if c not in dead:
+                dead.append(c)
+        dead_cids = {c.cid for c in dead}
+        for c in dead:
+            if any(
+                ch not in dead_cids
+                and self.cliques[ch] is not None
+                and self.cliques[ch].alive
+                for ch in c.children
+            ):
+                raise RuntimeError("marginalize_leaves: clique has live children")
+
+        # convert each dead clique's message into a persistent marginal
+        # factor — only for the TOP-most marg cliques (all-live separator);
+        # lower marg cliques' messages already flowed into their (also-dead)
+        # parents during the phase-1 elimination.
+        for c in dead:
+            live_scope = list(c.separator)
+            nsc = c.cls[1]
+            if live_scope and not any(v in gset for v in live_scope):
+                mp = self.msg_pools.get(nsc)
+                if mp is None:
+                    mp = PoolClass(0, nsc, 0, _make_pool(0, nsc, self.d, 0, self.dtype))
+                    self.msg_pools[nsc] = mp
+                r = mp.alloc()
+                while r < 0:
+                    self.msg_pools[nsc] = mp = _grow_pool(mp, self.d, self.dtype)
+                    r = mp.alloc()
+                src = self.pools[c.cls]
+                U2, ug2 = _copy_msg_jit(nsc, self.d, src.cap, mp.cap)(
+                    mp.arrays.U, mp.arrays.ug,
+                    jnp.asarray(np.asarray([r], np.int32)),
+                    src.arrays.U, src.arrays.ug,
+                    jnp.asarray(np.asarray([c.row], np.int32)),
+                )
+                mp.arrays = mp.arrays._replace(U=U2, ug=ug2)
+                mid = len(self.msgs)
+                self.msgs.append(MsgRec(mid=mid, ns=nsc, row=r, scope=live_scope))
+                # owner: the live clique where the first separator var is frontal
+                owner = self.var_clique[live_scope[0]]
+                self.msgs[mid].alive = True
+                self.cliques[owner].owned_msg.append(mid)
+            # unlink + free; retire the factors and messages this clique
+            # owned — their information now lives in the marginal factor
+            if c.parent >= 0 and self.cliques[c.parent] is not None:
+                self.cliques[c.parent].children.discard(c.cid)
+            self.pools[c.cls].free.append(c.row)
+            for gid in c.frontal:
+                self.var_clique.pop(gid, None)
+            retired = set(c.owned_fac)
+            for (g, r) in c.owned_fac:
+                for k in range(self.groups[g].K):
+                    gid = int(self.groups[g].keys[r, k])
+                    lst = self.var_factors.get(gid)
+                    if lst:
+                        self.var_factors[gid] = [u for u in lst if u not in retired]
+            for mid in c.owned_msg:
+                self.msgs[mid].alive = False
+            self.cliques[c.cid] = None
+        # tombstone the variables (their x rows stay zero)
+        self.zero_delta_rows(list(gset))

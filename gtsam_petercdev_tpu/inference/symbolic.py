@@ -233,10 +233,14 @@ def symbolic_eliminate(
     merge_threshold: float = 0.25,
     max_supernode: int = 32,
     max_buckets_per_level: int = 2,
+    no_merge_across: Optional[set] = None,
 ) -> EliminationPlan:
     """Build the elimination plan.
 
     factor_vars: list of [N, K] int arrays of variable ids per factor batch.
+    no_merge_across: optional set of variable ids (original space) forming a
+    group boundary — supernode merging never joins a var inside the set with
+    one outside (used to keep marginalization candidates in pure cliques).
     """
     # --- edges & ordering ---
     edge_list = []
@@ -285,10 +289,18 @@ def symbolic_eliminate(
     # {next} + struct(next); relaxed: allow padding waste below threshold.
     cliques: List[Clique] = []
     var_clique = np.full(n, -1, dtype=np.int64)
+    barrier = (
+        {int(iperm[v]) for v in no_merge_across} if no_merge_across else None
+    )
     cur: Optional[Clique] = None
     for v in range(n):
         merge = False
-        if cur is not None and parent[v - 1] == v and len(cur.frontal) < max_supernode:
+        if (
+            cur is not None
+            and parent[v - 1] == v
+            and len(cur.frontal) < max_supernode
+            and (barrier is None or ((v in barrier) == (v - 1 in barrier)))
+        ):
             s_prev = struct[v - 1]
             s_v = struct[v]
             # fundamental supernode test

@@ -1,0 +1,167 @@
+"""City10000 incremental SLAM harness — the reference's headline iSAM2
+benchmark (examples/ISAM2_City10000.cpp:60-160, examples/City10000.h:37-98).
+
+Per dataset line `EDGE2 keyS _ keyT _ numMeas x y rad [...]`:
+  * keyT == keyS+1: odometry — insert the new pose initialized from the
+    current estimate of keyS composed with the measurement, add a
+    BetweenFactor, and run one ISAM2 update.
+  * otherwise: loop closure — add the BetweenFactor, run one update.
+
+Noise models mirror City10000.h: prior sigmas 1e-4, pose sigmas
+(1/30, 1/30, 1/100).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gtsam_petercdev_tpu.geometry import pose2
+from gtsam_petercdev_tpu.linear import noise
+from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
+from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+from gtsam_petercdev_tpu.nonlinear.values import Values
+from gtsam_petercdev_tpu.slam.factors import between_factor, prior_factor
+
+
+def parse_city10000(path: str, max_lines: Optional[int] = None):
+    """-> list of (keyS, keyT, [measurements (x, y, theta)])."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0] != "EDGE2":
+                continue
+            keyS, keyT = int(parts[1]), int(parts[3])
+            n_meas = int(parts[5])
+            meas = [
+                (
+                    float(parts[6 + 3 * i]),
+                    float(parts[7 + 3 * i]),
+                    float(parts[8 + 3 * i]),
+                )
+                for i in range(n_meas)
+            ]
+            out.append((keyS, keyT, meas))
+            if max_lines is not None and len(out) >= max_lines:
+                break
+    return out
+
+
+@dataclass
+class CityResult:
+    estimate: np.ndarray  # [n_poses, 3]
+    step_times: List[float] = field(default_factory=list)
+    n_poses: int = 0
+    n_loop_closures: int = 0
+    total_time: float = 0.0
+
+    def ate_rmse(self, gt: np.ndarray) -> float:
+        n = min(self.n_poses, gt.shape[0])
+        d = self.estimate[:n, :2] - gt[:n, :2]
+        return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+def run_city10000(
+    path: str,
+    max_steps: Optional[int] = None,
+    wildfire_threshold: float = 0.001,
+    relinearize_threshold: float = 0.01,
+    relinearize_skip: int = 1,
+    dtype=jnp.float64,
+    progress_every: int = 0,
+) -> CityResult:
+    prior_sig = np.asarray(
+        noise.diagonal_sigmas(np.asarray([1e-4, 1e-4, 1e-4]))
+    )
+    pose_sig = np.asarray(
+        noise.diagonal_sigmas(np.asarray([1.0 / 30.0, 1.0 / 30.0, 1.0 / 100.0]))
+    )
+
+    isam = ISAM2(
+        ISAM2Params(
+            relinearize_threshold=relinearize_threshold,
+            relinearize_skip=relinearize_skip,
+            wildfire_threshold=wildfire_threshold,
+        )
+    )
+    nf = NonlinearFactorGraph()
+    nv = Values()
+    origin = jnp.zeros(3, dtype=dtype)
+    nv.insert(0, "Pose2", origin)
+    nf.add(prior_factor("Pose2"), [0], origin, prior_sig)
+    isam.update(nf, nv)
+
+    lines = parse_city10000(path, max_steps)
+    res = CityResult(estimate=None, n_poses=1)
+    t_start = time.perf_counter()
+    for (keyS, keyT, meas) in lines:
+        odom = jnp.asarray(meas[0], dtype=dtype)
+        nf = NonlinearFactorGraph()
+        nv = Values()
+        if keyS == keyT - 1:  # new pose
+            prev = isam.calculate_estimate_key(keyS)
+            nv.insert(keyT, "Pose2", pose2.compose(prev, odom))
+            nf.add(between_factor("Pose2"), [keyS, keyT], odom, pose_sig)
+            res.n_poses += 1
+        else:  # loop closure
+            nf.add(between_factor("Pose2"), [keyS, keyT], odom, pose_sig)
+            res.n_loop_closures += 1
+        t0 = time.perf_counter()
+        isam.update(nf, nv)
+        res.step_times.append(time.perf_counter() - t0)
+        if progress_every and len(res.step_times) % progress_every == 0:
+            k = len(res.step_times)
+            avg = float(np.mean(res.step_times[-progress_every:])) * 1e3
+            print(
+                f"step {k}: poses={res.n_poses} loops={res.n_loop_closures} "
+                f"avg {avg:.1f} ms/step",
+                flush=True,
+            )
+    res.total_time = time.perf_counter() - t_start
+    est = isam.calculate_estimate()
+    rows = np.asarray(
+        [isam.theta.row_of(i) for i in range(res.n_poses)], dtype=np.int64
+    )
+    res.estimate = np.asarray(est.params("Pose2"))[rows]
+    return res
+
+
+def load_city_gt(path: str) -> np.ndarray:
+    """ISAM2_GT_city10000.txt: x y theta per line."""
+    return np.loadtxt(path)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--data",
+        default="/root/reference/examples/Data/T1_city10000_04.txt",
+    )
+    ap.add_argument(
+        "--gt", default="/root/reference/examples/Data/ISAM2_GT_city10000.txt"
+    )
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--wildfire", type=float, default=0.001)
+    args = ap.parse_args()
+
+    r = run_city10000(
+        args.data,
+        max_steps=args.steps,
+        wildfire_threshold=args.wildfire,
+        progress_every=200,
+    )
+    gt = load_city_gt(args.gt)
+    st = np.asarray(r.step_times) * 1e3
+    print(
+        f"poses={r.n_poses} loops={r.n_loop_closures} total={r.total_time:.1f}s "
+        f"step ms: mean={st.mean():.1f} p50={np.percentile(st,50):.1f} "
+        f"p99={np.percentile(st,99):.1f} max={st.max():.1f} "
+        f"ATE-RMSE={r.ate_rmse(gt):.4f} m"
+    )

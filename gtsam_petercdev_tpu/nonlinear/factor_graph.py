@@ -91,6 +91,51 @@ class LinearizedGraph:
         return [(lb.A, lb.b) for lb in self.batches]
 
 
+def residual_and_jac(ftype: FactorType, robust, xs, params, sqrt_info):
+    """Whitened residual + manifold Jacobians at delta=0, vmapped over the
+    leading axis. All numeric inputs are traced arguments, so callers may
+    jit this per (ftype, robust, shape) and feed different factor subsets
+    without retracing (the iSAM2 row-granular relinearization path).
+    """
+    dims = [manifold.get(t).dim for t in ftype.var_types]
+    splits = np.cumsum(dims)[:-1].tolist()
+    retracts = [ftype.retract_fn(k) for k in range(len(dims))]
+
+    def single(delta_flat, xs_single, p, R):
+        deltas = jnp.split(delta_flat, splits)
+        xs_r = tuple(
+            retracts[k](x, dl) for k, (x, dl) in enumerate(zip(xs_single, deltas))
+        )
+        if ftype.linearize_residual is not None:
+            xs0 = jax.tree_util.tree_map(jax.lax.stop_gradient, xs_single)
+            r = ftype.linearize_residual(xs_r, xs0, p)
+        else:
+            r = ftype.residual(xs_r, p)
+        return R @ r
+
+    total = int(sum(dims))
+
+    def one_factor(xs_single, p, R):
+        z = jnp.zeros((total,), dtype=R.dtype)
+        r_w = single(z, xs_single, p, R)
+        J = jax.jacfwd(single)(z, xs_single, p, R)  # [d, total]
+        return r_w, J
+
+    r_w, J = jax.vmap(one_factor)(xs, params, sqrt_info)
+    Js = []
+    start = 0
+    for dk in dims:
+        Js.append(J[:, :, start : start + dk])
+        start += dk
+
+    if robust is not None:
+        e = jnp.linalg.norm(r_w, axis=-1)
+        sw = jnp.sqrt(robust.weight(e))[:, None]
+        r_w = r_w * sw
+        Js = [Jk * sw[..., None] for Jk in Js]
+    return r_w, tuple(Js)
+
+
 class NonlinearFactorGraph:
     """Host-side graph builder; all numerics happen in built closures."""
 
@@ -181,44 +226,9 @@ class NonlinearFactorGraph:
         xs: tuple of gathered variable params, leaves [N, ...].
         Returns (r_w [N,d], Jws tuple of [N,d,dim_k]).
         """
-        ftype = batch.ftype
-        dims = [manifold.get(t).dim for t in ftype.var_types]
-        splits = np.cumsum(dims)[:-1].tolist()
-        retracts = [ftype.retract_fn(k) for k in range(len(dims))]
-
-        def single(delta_flat, xs_single, params, R):
-            deltas = jnp.split(delta_flat, splits)
-            xs_r = tuple(
-                retracts[k](x, d) for k, (x, d) in enumerate(zip(xs_single, deltas))
-            )
-            if ftype.linearize_residual is not None:
-                xs0 = jax.tree_util.tree_map(jax.lax.stop_gradient, xs_single)
-                r = ftype.linearize_residual(xs_r, xs0, params)
-            else:
-                r = ftype.residual(xs_r, params)
-            return R @ r
-
-        total = int(sum(dims))
-
-        def one_factor(xs_single, params, R):
-            z = jnp.zeros((total,), dtype=batch.sqrt_info.dtype)
-            r_w = single(z, xs_single, params, R)
-            J = jax.jacfwd(single)(z, xs_single, params, R)  # [d, total]
-            return r_w, J
-
-        r_w, J = jax.vmap(one_factor)(xs, batch.params, batch.sqrt_info)
-        Js = []
-        start = 0
-        for dk in dims:
-            Js.append(J[:, :, start : start + dk])
-            start += dk
-
-        if batch.robust is not None:
-            e = jnp.linalg.norm(r_w, axis=-1)
-            sw = jnp.sqrt(batch.robust.weight(e))[:, None]
-            r_w = r_w * sw
-            Js = [Jk * sw[..., None] for Jk in Js]
-        return r_w, tuple(Js)
+        return residual_and_jac(
+            batch.ftype, batch.robust, xs, batch.params, batch.sqrt_info
+        )
 
     def _gather(self, values: Values, batch: FactorBatch, rows):
         return tuple(
