@@ -39,6 +39,7 @@ Design (the incremental analog of inference/elimination.py's batch engine):
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Dict, List, NamedTuple, Optional, Sequence, Set, Tuple
@@ -54,14 +55,19 @@ from gtsam_petercdev_tpu.inference.symbolic import (
     symbolic_eliminate,
 )
 
-_PADS = [1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512]
-
-
 def _pad(x: int) -> int:
-    for p in _PADS:
-        if x <= p:
-            return p
-    return ((x + 127) // 128) * 128
+    """Pad counts to powers of two: the incremental path's jit signatures are
+    built from padded sizes, so coarse classes keep the number of distinct
+    XLA compiles small (compile time dominates wall-clock otherwise)."""
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _pad_class(x: int) -> int:
+    """Clique shape classes (nf/ns blocks), also power-of-two."""
+    return _pad(x)
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +119,12 @@ def _make_pool(nf, ns, d, cap, dtype) -> PoolArrays:
 
 
 def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:
-    new_cap = max(8, p.cap * 2)
+    # small clique classes start big and grow 4x (few distinct capacity
+    # values -> few jit signatures); large classes grow conservatively
+    if p.nf + p.ns <= 8:
+        new_cap = max(256, p.cap * 4)
+    else:
+        new_cap = max(8, p.cap * 2)
     na = _make_pool(p.nf, p.ns, d, new_cap, dtype)
     na = PoolArrays(*[
         a.at[: p.cap].set(b[: p.cap]) for a, b in zip(na, p.arrays)
@@ -203,6 +214,23 @@ def _gather_fac_jit(K, dims, d, cap, N):
 
 
 @lru_cache(maxsize=None)
+def _set_rows_jit(K, cap, Np):
+    """Scatter padded linearization rows into a factor group's device store.
+
+    Pad entries point at the trash row `cap`, which is re-zeroed afterwards
+    so message/factor gathers keep reading zeros there."""
+
+    def f(A, b, idx, Anew, bnew):
+        A2 = tuple(
+            Ak.at[idx].set(An).at[cap].set(0.0) for Ak, An in zip(A, Anew)
+        )
+        b2 = b.at[idx].set(bnew).at[cap].set(0.0)
+        return A2, b2
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+@lru_cache(maxsize=None)
 def _copy_msg_jit(ns, d, src_cap, dst_cap):
     def f(dstU, dstug, drows, srcU, srcug, srows):
         return dstU.at[drows].set(srcU[srows]), dstug.at[drows].set(srcug[srows])
@@ -229,6 +257,44 @@ def _wild_jit(B, nf, ns, d, cap, xcap):
         return xnew, change
 
     return jax.jit(f, donate_argnums=5)
+
+
+@lru_cache(maxsize=None)
+def _max_abs_jit(shape_rows):
+    def f(x):
+        return jnp.max(jnp.abs(x), axis=1)
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _zero_rows_jit(xrows, nidx):
+    def f(x, idx):
+        return x.at[idx].set(0.0)
+
+    return jax.jit(f, donate_argnums=0)
+
+
+@dataclass
+class _LocalPlan:
+    """Cached structural plan of one local re-elimination (all index maps are
+    functions of the local problem STRUCTURE only; device copies are uploaded
+    once and reused across cache hits — the odometry steady state)."""
+
+    cfg: Tuple  # _eliminate_jit signature
+    # per factor-gather entry (sorted g order): (g, N, Np, blk_dev, gix_dev,
+    # own_lcid [N] local clique owning each row)
+    fac: List[Tuple]
+    # per message class: (src, pkey, nsc, Mp, blk_dev, gix_dev,
+    # entry_order [M] indices into the update's msg_entries, own_lcid [M])
+    msg: List[Tuple]
+    eye_rows_dev: jnp.ndarray
+    eye_vals_dev: jnp.ndarray
+    ext_dev: List[Tuple]
+    # per level: (nf, ns, B_real, Bp, cliques: [(frontal_lv, separator_lv,
+    # parent_lcid)]) where *_lv are indices into local_vars
+    levels_meta: List[Tuple]
+    n_cliques: int
 
 
 @lru_cache(maxsize=None)
@@ -333,7 +399,7 @@ class IncrementalEngine:
         self.dtype = dtype
         self.n = 0  # variables (gids 0..n-1)
         self.var_dims = np.zeros(0, dtype=np.int64)
-        self.xcap = 16
+        self.xcap = 1024
         self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
         self.pools: Dict[Tuple[int, int], PoolClass] = {}
         self.msg_pools: Dict[int, PoolClass] = {}  # persistent marginals
@@ -345,6 +411,12 @@ class IncrementalEngine:
         self.msgs: List[Optional[MsgRec]] = []
         self.var_msgs: Dict[int, List[int]] = {}  # gid -> [mid] (scope index)
         self.last_bad_pivots = 0
+        self.n_live = 0  # live clique count (maintained incrementally)
+        # structural local-plan cache (ISAM2 steady state: the odometry
+        # update's structure repeats -> all host planning + index-map
+        # uploads are skipped)
+        self._plan_cache: "OrderedDict[Tuple, _LocalPlan]" = OrderedDict()
+        self._plan_cache_cap = 512
 
     # -- variables / factors ------------------------------------------------
 
@@ -355,7 +427,7 @@ class IncrementalEngine:
             [self.var_dims, np.asarray(dims, dtype=np.int64)]
         )
         while self.n > self.xcap:
-            self.xcap *= 2
+            self.xcap *= 4
             nx = jnp.zeros((self.xcap + 1, self.d), dtype=self.dtype)
             self.x = nx.at[: self.x.shape[0] - 1].set(self.x[:-1])
         return gids
@@ -365,7 +437,7 @@ class IncrementalEngine:
         if g is not None:
             return g
         g = len(self.groups)
-        cap = 16
+        cap = 256
         d = self.d
         self.groups.append(
             FactorGroup(
@@ -387,7 +459,7 @@ class IncrementalEngine:
     def _grow_group(self, fg: FactorGroup, need: int):
         cap = fg.cap
         while cap < need:
-            cap *= 2
+            cap *= 4
         d = self.d
         A = tuple(
             jnp.zeros((cap + 1, d, dk), dtype=self.dtype)
@@ -416,14 +488,19 @@ class IncrementalEngine:
         return rows
 
     def set_factor_rows(self, g: int, rows, A, b):
-        """Overwrite cached linearization of existing rows (relinearize)."""
+        """Overwrite cached linearization of existing rows (relinearize).
+
+        A/b may be shape-padded beyond len(rows); pad entries write to the
+        trash row which is re-zeroed in the same fused device call."""
         fg = self.groups[g]
-        idx = jnp.asarray(np.asarray(rows, dtype=np.int32))
-        fg.A = tuple(
-            Ak.at[idx].set(jnp.asarray(Anew, dtype=self.dtype))
-            for Ak, Anew in zip(fg.A, A)
+        b = jnp.asarray(b, dtype=self.dtype)
+        Np = b.shape[0]
+        idx_np = np.full(Np, fg.cap, dtype=np.int32)
+        idx_np[: len(rows)] = np.asarray(rows, dtype=np.int32)
+        A = tuple(jnp.asarray(Ak, dtype=self.dtype) for Ak in A)
+        fg.A, fg.b = _set_rows_jit(fg.K, fg.cap, Np)(
+            fg.A, fg.b, jnp.asarray(idx_np), A, b
         )
-        fg.b = fg.b.at[idx].set(jnp.asarray(b, dtype=self.dtype))
 
     # -- affected-set computation (removeTop) --------------------------------
 
@@ -523,34 +600,185 @@ class IncrementalEngine:
         m = len(local_vars)
         if m == 0:
             return {"n_reeliminated": 0, "bad_pivots": 0}
-        lid = {g: i for i, g in enumerate(local_vars)}
+        lva = np.asarray(local_vars, dtype=np.int64)
+        lid_arr = np.full(self.n, -1, dtype=np.int64)
+        lid_arr[lva] = np.arange(m)
 
-        # ---- symbolic structure: factors + orphan msgs + persistent msgs ----
+        # ---- symbolic structure (vectorized) + plan-cache signature ----
         per_group: Dict[int, List[int]] = {}
         for (g, r) in fac_units:
             per_group.setdefault(g, []).append(r)
-        factor_vars = []
         fac_entries = []  # (g, rows[N], lids[N,K])
+        sig_parts: List = [m, self.var_dims[lva].tobytes()]
         for g in sorted(per_group):
             fg = self.groups[g]
             rows = np.asarray(sorted(set(per_group[g])), dtype=np.int64)
-            lids = np.empty((len(rows), fg.K), dtype=np.int64)
-            for i, r in enumerate(rows):
-                for k in range(fg.K):
-                    lids[i, k] = lid[int(fg.keys[r, k])]
-            factor_vars.append(lids)
+            lids = lid_arr[fg.keys[rows]]
             fac_entries.append((g, rows, lids))
-        msg_entries = []  # (src, pool_key, row, scope_lids, scope_gids)
+            sig_parts.append((g, lids.shape[0], lids.tobytes()))
+        msg_entries = []  # (src, pool_key, row, scope_lids)
         for cid in orphan_cids:
             c = self.cliques[cid]
-            sc = np.asarray([lid[g] for g in c.separator], dtype=np.int64)
-            factor_vars.append(sc[None, :])
+            sc = lid_arr[np.asarray(c.separator, dtype=np.int64)]
             msg_entries.append(("clq", c.cls, c.row, sc))
+            sig_parts.append(("clq", c.cls, sc.tobytes()))
         for mid in msg_ids:
             mr = self.msgs[mid]
-            sc = np.asarray([lid[g] for g in mr.scope], dtype=np.int64)
-            factor_vars.append(sc[None, :])
+            sc = lid_arr[np.asarray(mr.scope, dtype=np.int64)]
             msg_entries.append(("msg", mr.ns, mr.row, sc))
+            sig_parts.append(("msg", mr.ns, sc.tobytes()))
+        first_l = frozenset(
+            int(lid_arr[g]) for g in first if lid_arr[g] >= 0
+        )
+        last_l = frozenset(
+            int(lid_arr[g]) for g in new_last if lid_arr[g] >= 0
+        ) - first_l
+        sig_parts.append((tuple(sorted(first_l)), tuple(sorted(last_l))))
+        sig = tuple(sig_parts)
+
+        plan = self._plan_cache.get(sig)
+        if plan is None:
+            plan = self._build_plan(lva, fac_entries, msg_entries, first_l, last_l)
+            self._plan_cache[sig] = plan
+            if len(self._plan_cache) > self._plan_cache_cap:
+                self._plan_cache.popitem(last=False)
+        else:
+            self._plan_cache.move_to_end(sig)
+
+        # ---- runtime: gather factor rows / messages ----
+        own_fac: Dict[int, List[Tuple[int, int]]] = {}
+        own_msg: Dict[int, List[int]] = {}
+        fac_args = []
+        for (g, rows, _), (_, N, Np, blk_dev, gix_dev, own_lcid) in zip(
+            fac_entries, plan.fac
+        ):
+            fg = self.groups[g]
+            rows_p = np.full(Np, fg.cap, dtype=np.int32)
+            rows_p[:N] = rows
+            A, b = _gather_fac_jit(fg.K, fg.dims, d, fg.cap, Np)(
+                fg.A, fg.b, jnp.asarray(rows_p)
+            )
+            fac_args.append((A, b, blk_dev, gix_dev))
+            for i in range(N):
+                own_fac.setdefault(int(own_lcid[i]), []).append(
+                    (g, int(rows[i]))
+                )
+        msg_args = []
+        orphan_owner: Dict[int, int] = {}  # orphan entry idx -> owner lcid
+        for (src, pkey, nsc, Mp, blk_dev, gix_dev, order, own_lcid) in plan.msg:
+            pc = self.pools[pkey] if src == "clq" else self.msg_pools[pkey]
+            rows_p = np.full(Mp, pc.cap, dtype=np.int32)
+            for mi, ei in enumerate(order):
+                rows_p[mi] = msg_entries[ei][2]
+                if src == "msg":
+                    own_msg.setdefault(int(own_lcid[mi]), []).append(
+                        msg_ids[ei - len(orphan_cids)]
+                    )
+                else:
+                    orphan_owner[ei] = int(own_lcid[mi])
+            U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
+                pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
+            )
+            msg_args.append((U, ug, blk_dev, gix_dev))
+
+        # ---- run the eliminate kernel ----
+        outs, bad = _eliminate_jit(plan.cfg)(
+            tuple(fac_args),
+            tuple(msg_args),
+            plan.eye_rows_dev,
+            plan.eye_vals_dev,
+            tuple(plan.ext_dev),
+        )
+
+        # ---- retire dead cliques, free pool rows ----
+        for cid in dead:
+            c = self.cliques[cid]
+            c.alive = False
+            self.pools[c.cls].free.append(c.row)
+            self.cliques[cid] = None
+        self.n_live -= len(dead)
+
+        # ---- create new clique records + scatter payloads into pools ----
+        new_by_level: List[List[int]] = []
+        local2global: Dict[int, int] = {}
+        for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
+            cls = (nf, ns)
+            pc = self.pools.get(cls)
+            if pc is None:
+                pc = PoolClass(nf, ns, 0, _make_pool(nf, ns, d, 0, self.dtype))
+                self.pools[cls] = pc
+            rows_np = np.full(Bp, 0, dtype=np.int32)
+            lv_cids = []
+            for i, (pcid, fro_lv, sep_lv, par) in enumerate(clqs):
+                r = pc.alloc()
+                while r < 0:
+                    self.pools[cls] = pc = _grow_pool(pc, d, self.dtype)
+                    r = pc.alloc()
+                rows_np[i] = r
+                gcid = len(self.cliques)
+                rec = CliqueRec(
+                    cid=gcid,
+                    cls=cls,
+                    row=r,
+                    frontal=[local_vars[v] for v in fro_lv],
+                    separator=[local_vars[v] for v in sep_lv],
+                    owned_fac=own_fac.get(pcid, []),
+                    owned_msg=own_msg.get(pcid, []),
+                )
+                self.cliques.append(rec)
+                local2global[pcid] = gcid
+                lv_cids.append(gcid)
+                for gid in rec.frontal:
+                    self.var_clique[gid] = gcid
+            rows_np[B_real:] = pc.cap  # trash
+            self.pools[cls] = PoolClass(
+                pc.nf, pc.ns, pc.cap,
+                _scatter_pool_jit(Bp, nf, ns, d, pc.cap)(
+                    pc.arrays, jnp.asarray(rows_np), outs[li]
+                ),
+                pc.free, pc.top,
+            )
+            new_by_level.append(lv_cids)
+        self.n_live += plan.n_cliques
+
+        # ---- wire the tree: parents/children of new cliques + orphans ----
+        for (nf, ns, B_real, Bp, clqs) in plan.levels_meta:
+            for (pcid, _, _, par) in clqs:
+                if par >= 0:
+                    gcid = local2global[pcid]
+                    pg = local2global[par]
+                    self.cliques[gcid].parent = pg
+                    self.cliques[pg].children.add(gcid)
+        for ei, cid in enumerate(orphan_cids):
+            c = self.cliques[cid]
+            pg = local2global[orphan_owner[ei]]
+            c.parent = pg
+            self.cliques[pg].children.add(cid)
+
+        # ---- wildfire back-substitution from the new cliques ----
+        n_rounds = self._wildfire(new_by_level, wildfire_threshold)
+        return {
+            "n_reeliminated": plan.n_cliques,
+            "bad_pivots": bad,
+            "wildfire_rounds": n_rounds,
+        }
+
+    def _build_plan(
+        self,
+        lva: np.ndarray,
+        fac_entries,
+        msg_entries,
+        first_l: frozenset,
+        last_l: frozenset,
+    ) -> _LocalPlan:
+        """Host symbolic planning for one local-problem STRUCTURE (cache
+        miss only): ordering, supernodes, level layout, all index maps.
+        Device copies of the constant maps are uploaded here, once."""
+        d = self.d
+        m = len(lva)
+        factor_vars = [lids for (_, _, lids) in fac_entries] + [
+            sc[None, :] for (_, _, _, sc) in msg_entries
+        ]
 
         # ---- ordering: [first | colamd middle | new_last] ----
         edge_list = []
@@ -565,8 +793,6 @@ class IncrementalEngine:
             else np.zeros((0, 2), np.int64)
         )
         base = colamd_ordering(m, edges)
-        first_l = {lid[g] for g in first if g in lid}
-        last_l = {lid[g] for g in new_last if g in lid} - first_l
         order = np.asarray(
             [v for v in base if v in first_l]
             + [v for v in base if v not in first_l and v not in last_l]
@@ -576,7 +802,7 @@ class IncrementalEngine:
         barrier = first_l if first_l else None
         plan = symbolic_eliminate(
             m, factor_vars, d, ordering=order, max_buckets_per_level=1,
-            no_merge_across=barrier,
+            no_merge_across=barrier, pad_fn=_pad_class,
         )
 
         # ---- layout: one padded bucket per level + dummy levels ----
@@ -620,10 +846,8 @@ class IncrementalEngine:
         n_blocks, n_grows = boff, goff
         trash_blk, trash_g = n_blocks, n_grows
 
-        # ---- factor gather args + scatter maps + ownership ----
-        own_fac: Dict[int, List[Tuple[int, int]]] = {}
-        own_msg: Dict[int, List[int]] = {}
-        groups_sig, fac_args = [], []
+        # ---- factor scatter maps + ownership ----
+        groups_sig, plan_fac = [], []
         for (g, rows, lids) in fac_entries:
             fg = self.groups[g]
             N, K = lids.shape
@@ -637,64 +861,47 @@ class IncrementalEngine:
                 c = cliques[own[i]]
                 for k in range(K):
                     pos[i, k] = cpos(c, pvs[i, k])
-                own_fac.setdefault(int(own[i]), []).append((g, int(rows[i])))
             for k in range(K):
                 for l in range(K):
                     blk[:N, k, l] = (
                         blk_base[own] + pos[:, k] * mb_of[own] + pos[:, l]
                     )
                 gix[:N, k] = g_base[own] + pos[:, k]
-            rows_p = np.full(Np, fg.cap, dtype=np.int32)
-            rows_p[:N] = rows
-            A, b = _gather_fac_jit(K, fg.dims, d, fg.cap, Np)(
-                fg.A, fg.b, jnp.asarray(rows_p)
-            )
             groups_sig.append((K, fg.dims, fg.sign, Np))
-            fac_args.append(
-                (A, b, jnp.asarray(blk.astype(np.int32)),
-                 jnp.asarray(gix.astype(np.int32)))
+            plan_fac.append(
+                (g, N, Np, jnp.asarray(blk.astype(np.int32)),
+                 jnp.asarray(gix.astype(np.int32)), own.copy())
             )
 
-        # ---- message gather args + scatter maps ----
+        # ---- message scatter maps ----
         by_class: Dict[Tuple, List[int]] = {}
         for i, (src, pkey, row, sc) in enumerate(msg_entries):
             nsc = pkey[1] if src == "clq" else pkey
             by_class.setdefault((src, pkey, nsc), []).append(i)
-        msg_sigs, msg_args = [], []
+        msg_sigs, plan_msg = [], []
         for (src, pkey, nsc), idxs in sorted(
             by_class.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
         ):
             M = len(idxs)
             Mp = _pad(M)
-            if src == "clq":
-                pc = self.pools[pkey]
-            else:
-                pc = self.msg_pools[pkey]
-            rows_p = np.full(Mp, pc.cap, dtype=np.int32)
             blk = np.full((Mp, nsc, nsc), trash_blk, dtype=np.int64)
             gix = np.full((Mp, nsc), trash_g, dtype=np.int64)
+            own_lcid = np.zeros(M, dtype=np.int64)
             for mi, ei in enumerate(idxs):
-                _, _, row, sc = msg_entries[ei]
-                rows_p[mi] = row
+                sc = msg_entries[ei][3]
                 pv = iperm[sc]
                 ownc = cliques[plan.var_clique[pv.min()]]
+                own_lcid[mi] = ownc.cid
                 ps = np.asarray([cpos(ownc, p) for p in pv], dtype=np.int64)
                 nr = len(sc)
                 blk[mi, :nr, :nr] = (
                     blk_base[ownc.cid] + ps[:, None] * mb_of[ownc.cid] + ps[None, :]
                 )
                 gix[mi, :nr] = g_base[ownc.cid] + ps
-                if src == "msg":
-                    own_msg.setdefault(int(ownc.cid), []).append(
-                        msg_ids[ei - len(orphan_cids)]
-                    )
-            U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
-                pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
-            )
             msg_sigs.append((nsc, Mp))
-            msg_args.append(
-                (U, ug, jnp.asarray(blk.astype(np.int32)),
-                 jnp.asarray(gix.astype(np.int32)))
+            plan_msg.append(
+                (src, pkey, nsc, Mp, jnp.asarray(blk.astype(np.int32)),
+                 jnp.asarray(gix.astype(np.int32)), list(idxs), own_lcid)
             )
 
         # ---- identity padding rows ----
@@ -709,7 +916,7 @@ class IncrementalEngine:
                 eye_rows.append(blk_base[c.cid] + i * mb + i)
                 eye_vals.append(eye_flat)
             for i, pv in enumerate(c.frontal):
-                dv = int(self.var_dims[local_vars[plan.perm[pv]]])
+                dv = int(self.var_dims[lva[plan.perm[pv]]])
                 if dv < d:
                     v = np.zeros((d, d))
                     v[np.arange(dv, d), np.arange(dv, d)] = 1.0
@@ -724,7 +931,7 @@ class IncrementalEngine:
             eye_vals_np[:P] = np.stack(eye_vals)
 
         # ---- extend-add maps ----
-        ext_args = []
+        ext_dev = []
         for (bk, Bp) in real_buckets:
             nf, ns = bk.nf, bk.ns
             ext = np.full((Bp, ns, ns), trash_blk, dtype=np.int64)
@@ -743,98 +950,42 @@ class IncrementalEngine:
                         + ppos[None, :]
                     )
                     extg[i, :nr] = g_base[p.cid] + ppos
-            ext_args.append(
+            ext_dev.append(
                 (jnp.asarray(ext.astype(np.int32)),
                  jnp.asarray(extg.astype(np.int32)))
             )
         for _ in range(n_levels_pad - len(real_buckets)):
-            ext_args.append(
+            ext_dev.append(
                 (jnp.zeros((1, 0, 0), jnp.int32), jnp.zeros((1, 0), jnp.int32))
             )
 
-        # ---- run the eliminate kernel ----
-        cfg = (d, tuple(groups_sig), tuple(msg_sigs), bucket_sig, Pp)
-        outs, bad = _eliminate_jit(cfg)(
-            tuple(fac_args),
-            tuple(msg_args),
-            jnp.asarray(eye_rows_np),
-            jnp.asarray(eye_vals_np, dtype=self.dtype),
-            tuple(ext_args),
-        )
-
-        # ---- retire dead cliques, free pool rows ----
-        for cid in dead:
-            c = self.cliques[cid]
-            c.alive = False
-            self.pools[c.cls].free.append(c.row)
-            self.cliques[cid] = None
-
-        # ---- create new clique records + scatter payloads into pools ----
-        new_by_level: List[List[int]] = []
-        local2global: Dict[int, int] = {}
-        for li, (bk, Bp) in enumerate(real_buckets):
-            cls = (bk.nf, bk.ns)
-            pc = self.pools.get(cls)
-            if pc is None:
-                pc = PoolClass(bk.nf, bk.ns, 0, _make_pool(bk.nf, bk.ns, d, 0, self.dtype))
-                self.pools[cls] = pc
-            rows_np = np.full(Bp, 0, dtype=np.int32)
-            lv_cids = []
-            for i, cid in enumerate(bk.cliques):
-                r = pc.alloc()
-                while r < 0:
-                    self.pools[cls] = pc = _grow_pool(pc, d, self.dtype)
-                    r = pc.alloc()
-                rows_np[i] = r
-                c = cliques[cid]
-                gcid = len(self.cliques)
-                rec = CliqueRec(
-                    cid=gcid,
-                    cls=cls,
-                    row=r,
-                    frontal=[local_vars[plan.perm[v]] for v in c.frontal],
-                    separator=[local_vars[plan.perm[v]] for v in c.separator],
-                    owned_fac=own_fac.get(cid, []),
-                    owned_msg=own_msg.get(cid, []),
-                )
-                self.cliques.append(rec)
-                local2global[cid] = gcid
-                lv_cids.append(gcid)
-                for gid in rec.frontal:
-                    self.var_clique[gid] = gcid
-            rows_np[len(bk.cliques):] = pc.cap  # trash
-            self.pools[cls] = PoolClass(
-                pc.nf, pc.ns, pc.cap,
-                _scatter_pool_jit(Bp, bk.nf, bk.ns, d, pc.cap)(
-                    pc.arrays, jnp.asarray(rows_np), outs[li]
-                ),
-                pc.free, pc.top,
-            )
-            new_by_level.append(lv_cids)
-
-        # ---- wire the tree: parents/children of new cliques + orphans ----
-        for li, (bk, Bp) in enumerate(real_buckets):
+        # ---- per-level clique metadata (for CliqueRec construction) ----
+        levels_meta = []
+        for (bk, Bp) in real_buckets:
+            clqs = []
             for cid in bk.cliques:
-                gcid = local2global[cid]
                 c = cliques[cid]
-                if c.parent >= 0:
-                    pg = local2global[c.parent]
-                    self.cliques[gcid].parent = pg
-                    self.cliques[pg].children.add(gcid)
-        for cid in orphan_cids:
-            c = self.cliques[cid]
-            pv = min(iperm[lid[g]] for g in c.separator)
-            pg = local2global[plan.var_clique[pv]]
-            c.parent = pg
-            self.cliques[pg].children.add(cid)
+                clqs.append(
+                    (
+                        c.cid,
+                        tuple(int(plan.perm[v]) for v in c.frontal),
+                        tuple(int(plan.perm[v]) for v in c.separator),
+                        c.parent,
+                    )
+                )
+            levels_meta.append((bk.nf, bk.ns, len(bk.cliques), Bp, clqs))
 
-        # ---- wildfire back-substitution from the new cliques ----
-        n_rounds = self._wildfire(new_by_level, wildfire_threshold)
-        return {
-            "n_reeliminated": len(cliques),
-            "bad_pivots": bad,
-            "wildfire_rounds": n_rounds,
-        }
+        cfg = (d, tuple(groups_sig), tuple(msg_sigs), bucket_sig, Pp)
+        return _LocalPlan(
+            cfg=cfg,
+            fac=plan_fac,
+            msg=plan_msg,
+            eye_rows_dev=jnp.asarray(eye_rows_np),
+            eye_vals_dev=jnp.asarray(eye_vals_np, dtype=self.dtype),
+            ext_dev=ext_dev,
+            levels_meta=levels_meta,
+            n_cliques=len(cliques),
+        )
 
     # -- wildfire ---------------------------------------------------------------
 
@@ -920,18 +1071,29 @@ class IncrementalEngine:
         return self.x[jnp.asarray(np.asarray(gids, dtype=np.int32)), :dim]
 
     def zero_delta_rows(self, gids):
-        idx = jnp.asarray(np.asarray(gids, dtype=np.int32))
-        self.x = self.x.at[idx].set(0.0)
+        # shape-padded (pads hit the trash row, already zero)
+        n = len(gids)
+        idx = np.full(_pad(max(1, n)), self.xcap, dtype=np.int32)
+        idx[:n] = np.asarray(gids, dtype=np.int32)
+        self.x = _zero_rows_jit(self.x.shape[0], idx.shape[0])(
+            self.x, jnp.asarray(idx)
+        )
 
     def var_max_delta(self) -> np.ndarray:
-        """max|delta| per gid (for relinearization marking)."""
-        return np.asarray(jnp.max(jnp.abs(self.x[: self.n]), axis=1))
+        """max|delta| per gid (for relinearization marking).
+
+        Computed over the full capacity-padded x so the jitted reduction's
+        shape is stable across variable growth (no per-step recompiles);
+        rows beyond n are zero."""
+        md = np.asarray(_max_abs_jit(self.x.shape[0])(self.x))
+        return md[: self.n]
 
     # -- marginalization ------------------------------------------------------------
 
-    def marginalize_leaves(self, gids: Sequence[int]) -> None:
+    def marginalize_leaves(self, gids: Sequence[int]) -> List[Tuple[int, int]]:
         """Marginalize variables out of the tree (ISAM2::marginalizeLeaves,
-        gtsam/nonlinear/ISAM2.cpp:487-724).
+        gtsam/nonlinear/ISAM2.cpp:487-724). Returns the retired (group, row)
+        factor units whose information was absorbed into marginal factors.
 
         Two phases: (1) an update() with the marginalized vars constrained
         FIRST and supernode merging barred across the marg/live boundary, so
@@ -941,7 +1103,7 @@ class IncrementalEngine:
         the LinearContainerFactor analog."""
         gids = [g for g in gids if self.var_clique.get(g) is not None]
         if not gids:
-            return
+            return []
         gset = set(gids)
         self.update(marked=gset, relin=gset, first=gids)
 
@@ -969,6 +1131,7 @@ class IncrementalEngine:
             ):
                 raise RuntimeError("marginalize_leaves: clique has live children")
 
+        all_retired: List[Tuple[int, int]] = []
         # convert each dead clique's message into a persistent marginal
         # factor — only for the TOP-most marg cliques (all-live separator);
         # lower marg cliques' messages already flowed into their (also-dead)
@@ -1007,6 +1170,7 @@ class IncrementalEngine:
             for gid in c.frontal:
                 self.var_clique.pop(gid, None)
             retired = set(c.owned_fac)
+            all_retired.extend(c.owned_fac)
             for (g, r) in c.owned_fac:
                 for k in range(self.groups[g].K):
                     gid = int(self.groups[g].keys[r, k])
@@ -1016,5 +1180,7 @@ class IncrementalEngine:
             for mid in c.owned_msg:
                 self.msgs[mid].alive = False
             self.cliques[c.cid] = None
+            self.n_live -= 1
         # tombstone the variables (their x rows stay zero)
         self.zero_delta_rows(list(gset))
+        return all_retired

@@ -234,6 +234,7 @@ def symbolic_eliminate(
     max_supernode: int = 32,
     max_buckets_per_level: int = 2,
     no_merge_across: Optional[set] = None,
+    pad_fn=None,
 ) -> EliminationPlan:
     """Build the elimination plan.
 
@@ -241,7 +242,12 @@ def symbolic_eliminate(
     no_merge_across: optional set of variable ids (original space) forming a
     group boundary — supernode merging never joins a var inside the set with
     one outside (used to keep marginalization candidates in pure cliques).
+    pad_fn: clique shape-class padding (defaults to the fine-grained batch
+    classes; the incremental engine passes power-of-two padding to bound
+    the number of distinct jit signatures).
     """
+    if pad_fn is None:
+        pad_fn = _pad_to_class
     # --- edges & ordering ---
     edge_list = []
     for fv in factor_vars:
@@ -366,7 +372,7 @@ def symbolic_eliminate(
         for c in cliques:
             if c.level != lv:
                 continue
-            key = (_pad_to_class(len(c.frontal)), _pad_to_class(len(c.separator)) if c.separator else 0)
+            key = (pad_fn(len(c.frontal)), pad_fn(len(c.separator)) if c.separator else 0)
             groups.setdefault(key, []).append(c.cid)
         items = sorted(groups.items(), key=lambda kv: kv[0][0] + kv[0][1])
         while len(items) > max_buckets_per_level:

@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,14 +100,15 @@ def run_city10000(
 
     lines = parse_city10000(path, max_steps)
     res = CityResult(estimate=None, n_poses=1)
+    compose_j = jax.jit(pose2.compose)
     t_start = time.perf_counter()
     for (keyS, keyT, meas) in lines:
-        odom = jnp.asarray(meas[0], dtype=dtype)
+        odom = np.asarray(meas[0], dtype=np.dtype(dtype))
         nf = NonlinearFactorGraph()
         nv = Values()
         if keyS == keyT - 1:  # new pose
             prev = isam.calculate_estimate_key(keyS)
-            nv.insert(keyT, "Pose2", pose2.compose(prev, odom))
+            nv.insert(keyT, "Pose2", compose_j(prev, odom))
             nf.add(between_factor("Pose2"), [keyS, keyT], odom, pose_sig)
             res.n_poses += 1
         else:  # loop closure
@@ -138,6 +141,11 @@ def load_city_gt(path: str) -> np.ndarray:
 
 if __name__ == "__main__":
     import argparse
+
+    # persistent XLA compilation cache: loop-closure local-plan shapes are
+    # diverse; caching their compiles across runs removes the warmup cost
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     ap = argparse.ArgumentParser()
     ap.add_argument(

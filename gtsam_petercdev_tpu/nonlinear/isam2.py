@@ -12,11 +12,20 @@ wrapper owns the NONLINEAR side exactly as the reference's ISAM2 does:
   2. pushBackFactors: new factors are linearized once and cached in the
      engine's device factor stores (cacheLinearizedFactors semantics).
   3. gatherRelinearizeKeys: every `relinearize_skip` updates, vars with
-     |delta| > relinearize_threshold are marked.
+     |delta| > relinearize_threshold are marked — excluding variables in the
+     scope of persistent marginal factors (the reference's fixedVariables_,
+     ISAM2.cpp:693 + gatherRelinearizeKeys:457: moving them would silently
+     bias the frozen marginal message).
   4. retractMasked (Values.h:229): ONLY marked vars move their linearization
      point; their delta zeroes; every cached factor row touching them is
      re-linearized in place (row-granular, padded-jit — no full re-linearize).
   5. engine.update re-eliminates the affected top and wildfire-solves delta.
+
+Performance contract (examples/ISAM2_City10000.cpp is the target workload):
+the linearization point lives in CAPACITY-padded per-type device stores, so
+every per-step device call has a shape signature that changes only on
+power-of-two capacity growth — steady-state updates hit warm jit caches and
+trigger zero XLA compiles.
 
 Incremental-vs-batch contract (tests/testGaussianISAM2.cpp): with
 wildfire_threshold=0 the delta equals a from-scratch batch solve of the same
@@ -25,7 +34,7 @@ linearized system to solver precision.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
@@ -69,39 +78,206 @@ class ISAM2Result:
     n_cliques: int = 0
 
 
+# ---------------------------------------------------------------------------
+# jitted helpers (all signatures keyed on capacity classes, never exact n)
+# ---------------------------------------------------------------------------
+
+
 @lru_cache(maxsize=None)
-def _lin_rows_jit(ftype, robust, N, dtype_str):
-    def f(xs, params, sqrt_info):
+def _lin_rows_jit(ftype, robust, Np, caps, d, dtype_str):
+    """Linearize Np factor rows of one group: gather variable params from the
+    padded type stores, evaluate whitened residual+Jacobians, pad residual
+    rows to the engine block dim d."""
+
+    rd = ftype.resid_dim
+
+    def f(stores, row_idx, params, sqrt_info):
+        xs = tuple(
+            jax.tree_util.tree_map(lambda a, i=idx: a[i], store)
+            for store, idx in zip(stores, row_idx)
+        )
         r_w, Js = residual_and_jac(ftype, robust, xs, params, sqrt_info)
-        return Js, -r_w
+        b = -r_w
+        if rd < d:
+            Js = tuple(jnp.pad(Jk, ((0, 0), (0, d - rd), (0, 0))) for Jk in Js)
+            b = jnp.pad(b, ((0, 0), (0, d - rd)))
+        return Js, b
 
     return jax.jit(f)
 
 
-class _Group:
-    """Host mirror of one engine factor group (for relinearization/error)."""
+@lru_cache(maxsize=None)
+def _insert_rows_jit(t, cap, Np):
+    def f(params, idx, vals):
+        return jax.tree_util.tree_map(
+            lambda a, v: a.at[idx].set(v), params, vals
+        )
 
-    __slots__ = ("ftype", "robust", "sign", "params", "sqrt_info", "keys")
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _retract_masked_jit(t, cap, xcap, dtype_str):
+    """store' = where(mask, retract(store, x[gid,:dim]), store)."""
+    mt = manifold.get(t)
+
+    def f(params, x, gid_idx, mask):
+        dv = x[gid_idx, : mt.dim]
+        newp = mt.retract(params, dv)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                mask.reshape(mask.shape + (1,) * (a.ndim - 1)), b, a
+            ),
+            params,
+            newp,
+        )
+
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _estimate_jit(t, cap, xcap):
+    """Full-store retract: theta ⊞ delta for every valid row."""
+    mt = manifold.get(t)
+
+    def f(params, x, gid_idx, mask):
+        dv = x[gid_idx, : mt.dim]
+        newp = mt.retract(params, dv)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                mask.reshape(mask.shape + (1,) * (a.ndim - 1)), b, a
+            ),
+            params,
+            newp,
+        )
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _estimate_key_jit(t, cap, xcap):
+    """Single-variable estimate: gather row + retract by its delta (one
+    fused device call; ISAM2::calculateEstimate(Key))."""
+    mt = manifold.get(t)
+
+    def f(params, x, row, gid):
+        p = jax.tree_util.tree_map(lambda a: a[row], params)
+        return mt.retract(p, x[gid, : mt.dim])
+
+    return jax.jit(f)
+
+
+class _TypeStore:
+    """Capacity-padded device store of one manifold type's linearization
+    points (row `cap` is a trash row, mirroring the engine pools)."""
+
+    __slots__ = ("t", "mt", "n", "cap", "params", "gids")
+
+    def __init__(self, t: str, dtype):
+        self.t = t
+        self.mt = manifold.get(t)
+        self.n = 0
+        self.cap = 0
+        self.params = None  # pytree, leaves [cap+1, ...]
+        self.gids = np.zeros(0, dtype=np.int32)  # [cap] gid per row
+
+    def ensure(self, need: int, proto, dtype):
+        if need <= self.cap:
+            return
+        new_cap = max(16, self.cap)
+        while new_cap < need:
+            new_cap *= 2
+        proto_leaves = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((new_cap + 1,) + np.shape(a)[1:], dtype=dtype),
+            proto,
+        )
+        if self.params is not None:
+            old = self.params
+            n = self.n
+            self.params = jax.tree_util.tree_map(
+                lambda z, o: z.at[:n].set(o[:n]), proto_leaves, old
+            )
+        else:
+            self.params = proto_leaves
+        g = np.zeros(new_cap, dtype=np.int32)
+        g[: self.cap] = self.gids[: self.cap] if self.cap else []
+        self.gids = g
+        self.cap = new_cap
+
+
+class _Group:
+    """Host mirror of one engine factor group (numpy storage — relinearize
+    and error() slice it without touching the device)."""
+
+    __slots__ = (
+        "ftype", "robust", "sign", "n", "cap",
+        "params", "sqrt_info", "keys", "retired",
+    )
 
     def __init__(self, ftype, robust, sign):
         self.ftype = ftype
         self.robust = robust
         self.sign = sign
-        self.params: List[Any] = []  # per row numpy pytree
-        self.sqrt_info: List[np.ndarray] = []
-        self.keys: List[Tuple[int, ...]] = []
+        self.n = 0
+        self.cap = 0
+        self.params = None  # pytree of numpy [cap, ...]
+        self.sqrt_info = None  # numpy [cap, rd, rd]
+        self.keys = None  # numpy [cap, K]
+        self.retired = None  # numpy bool [cap]
+
+    def append(self, params_np, sqrt_info_np, keys_np):
+        k = keys_np.shape[0]
+        if self.n + k > self.cap:
+            new_cap = max(16, self.cap)
+            while new_cap < self.n + k:
+                new_cap *= 2
+
+            def grow(old, proto):
+                out = np.zeros((new_cap,) + proto.shape[1:], dtype=proto.dtype)
+                if old is not None:
+                    out[: self.n] = old[: self.n]
+                return out
+
+            if self.params is not None:
+                self.params = jax.tree_util.tree_map(
+                    lambda pn, po: grow(po, pn), params_np, self.params
+                )
+            else:
+                self.params = jax.tree_util.tree_map(
+                    lambda pn: grow(None, pn), params_np
+                )
+            self.sqrt_info = grow(self.sqrt_info, sqrt_info_np)
+            self.keys = grow(self.keys, keys_np)
+            r = np.zeros(new_cap, dtype=bool)
+            if self.retired is not None:
+                r[: self.n] = self.retired[: self.n]
+            self.retired = r
+            self.cap = new_cap
+        sl = slice(self.n, self.n + k)
+        jax.tree_util.tree_map(
+            lambda dst, src: dst.__setitem__(sl, src), self.params, params_np
+        )
+        self.sqrt_info[sl] = sqrt_info_np
+        self.keys[sl] = keys_np
+        rows = list(range(self.n, self.n + k))
+        self.n += k
+        return rows
 
 
 class ISAM2:
     def __init__(self, params: Optional[ISAM2Params] = None):
         self.params = params or ISAM2Params()
-        self.theta = Values()
         self._engine: Optional[IncrementalEngine] = None
         self._key_gid: Dict[int, int] = {}
         self._gid_key: List[int] = []
         self._gid_type: List[str] = []
-        self._groups: List[_Group] = []
+        self._gid_row: List[int] = []  # row in the type store
+        self._stores: Dict[str, _TypeStore] = {}
+        self._groups: List[Optional[_Group]] = []
         self._marginalized: Set[int] = set()  # keys removed from the tree
+        # gids in the scope of persistent marginal factors: never relinearized
+        # (reference fixedVariables_, ISAM2.cpp:693)
+        self._fixed_gids: Set[int] = set()
         self._update_count = 0
 
     # -- public API -----------------------------------------------------------
@@ -116,20 +292,13 @@ class ISAM2:
         self._update_count += 1
         eng = self._ensure_engine(new_theta)
 
+        if self.params.evaluate_error and self._gid_key:
+            # errorBefore at the pre-update estimate (theta ⊞ delta), matching
+            # ISAM2::update's evaluateNonlinearError before state mutates.
+            res.error_before = self.error(self.calculate_estimate())
+
         # 1. add variables
-        new_gids: List[int] = []
-        if new_theta is not None:
-            dims = []
-            for key in new_theta.keys():
-                t = new_theta.type_of(key)
-                self.theta.insert(key, t, new_theta.at(key))
-                gid = len(self._gid_key)
-                self._key_gid[int(key)] = gid
-                self._gid_key.append(int(key))
-                self._gid_type.append(t)
-                dims.append(manifold.get(t).dim)
-                new_gids.append(gid)
-            eng.add_variables(dims)
+        new_gids = self._add_variables(new_theta)
 
         # 2. add factors (linearize once, cache in the engine)
         marked: Set[int] = set()
@@ -137,22 +306,30 @@ class ISAM2:
         if new_factors is not None:
             new_factors._materialize()
             for b in new_factors.batches:
+                bad = [
+                    int(k)
+                    for k in b.keys.reshape(-1)
+                    if int(k) in self._marginalized
+                ]
+                if bad:
+                    raise ValueError(
+                        f"factor references marginalized key(s) {bad[:4]}"
+                    )
                 g = self._group_for(b)
                 grp = self._groups[g]
-                n0 = len(grp.keys)
-                for i in range(b.size):
-                    grp.params.append(
-                        jax.tree_util.tree_map(lambda a, i=i: a[i], b.params)
-                    )
-                    grp.sqrt_info.append(b.sqrt_info[i])
-                    grp.keys.append(tuple(int(k) for k in b.keys[i]))
+                params_np = jax.tree_util.tree_map(np.asarray, b.params)
+                rows = grp.append(
+                    params_np,
+                    np.asarray(b.sqrt_info),
+                    np.asarray(b.keys, dtype=np.int64),
+                )
                 gids = np.asarray(
                     [[self._key_gid[int(k)] for k in row] for row in b.keys],
                     dtype=np.int64,
                 )
-                A, bb = self._linearize_rows(g, list(range(n0, n0 + b.size)))
-                rows = eng.add_factors(g, gids, A, bb)
-                new_units.extend((g, r) for r in rows)
+                A, bb = self._linearize_rows(g, rows)
+                erows = eng.add_factors(g, gids, A, bb)
+                new_units.extend((g, r) for r in erows)
                 res.n_new_factors += b.size
                 marked.update(int(v) for v in gids.reshape(-1))
         new_gid_set = set(new_gids)
@@ -168,7 +345,7 @@ class ISAM2:
             thr = self.params.relinearize_threshold
             for gid in np.where(md > thr)[0]:
                 gid = int(gid)
-                if gid in eng.var_clique:
+                if gid in eng.var_clique and gid not in self._fixed_gids:
                     relin.add(gid)
         res.n_relinearized = len(relin)
 
@@ -185,9 +362,6 @@ class ISAM2:
                 A, bb = self._linearize_rows(g, rows)
                 eng.set_factor_rows(g, rows, A, bb)
 
-        if self.params.evaluate_error:
-            res.error_before = self.error(self.theta)
-
         # 5. re-eliminate the affected top + wildfire
         stats = eng.update(
             new_keys=new_gids,
@@ -201,38 +375,62 @@ class ISAM2:
         res.n_reeliminated = stats.get("n_reeliminated", 0)
         res.wildfire_rounds = stats.get("wildfire_rounds", 0)
         res.bad_pivots = stats.get("bad_pivots", 0)
-        res.n_cliques = sum(1 for c in eng.cliques if c is not None)
+        res.n_cliques = eng.n_live
         if self.params.evaluate_error:
             res.error_after = self.error(self.calculate_estimate())
         return res
 
+    @property
+    def theta(self) -> Values:
+        """The linearization point as a Values (materialized on demand)."""
+        return self._theta_values()
+
     def calculate_estimate(self) -> Values:
         """theta ⊞ delta (ISAM2.cpp:786-818)."""
-        return self.theta.retract(self.delta())
+        eng = self._engine
+        v = Values()
+        for t, st in self._stores.items():
+            if st.n == 0:
+                continue
+            fn = _estimate_jit(t, st.cap, eng.xcap)
+            mask = np.zeros(st.cap + 1, dtype=bool)
+            mask[: st.n] = True
+            gidx = np.full(st.cap + 1, eng.xcap, dtype=np.int32)
+            gidx[: st.n] = st.gids[: st.n]
+            newp = fn(st.params, eng.x, jnp.asarray(gidx), jnp.asarray(mask))
+            keys_t = [
+                self._gid_key[g] for g in st.gids[: st.n]
+            ]
+            v.insert_batch(
+                keys_t, t,
+                jax.tree_util.tree_map(lambda a: a[: st.n], newp),
+            )
+        return v
 
     def calculate_estimate_key(self, key: int):
-        """Single-variable estimate: theta[key] ⊞ delta[key] — O(1) device
-        work (ISAM2::calculateEstimate(Key), avoids the full retract)."""
+        """Single-variable estimate: theta[key] ⊞ delta[key] — one fused O(1)
+        device call (ISAM2::calculateEstimate(Key), avoids the full retract)."""
         key = int(key)
-        t = self.theta.type_of(key)
         gid = self._key_gid[key]
-        dv = self._engine.delta_rows(np.asarray([gid]), manifold.get(t).dim)[0]
-        return manifold.get(t).retract(self.theta.at(key), dv)
+        t = self._gid_type[gid]
+        st = self._stores[t]
+        fn = _estimate_key_jit(t, st.cap, self._engine.xcap)
+        return fn(st.params, self._engine.x, self._gid_row[gid], gid)
 
     def delta(self) -> Dict[str, jnp.ndarray]:
         eng = self._engine
         out = {}
-        for t in self.theta.types():
-            dim = manifold.get(t).dim
-            gids = np.asarray(
-                [self._key_gid[int(k)] for k in self.theta.type_keys(t)],
-                dtype=np.int64,
-            )
-            out[t] = eng.delta_rows(gids, dim)
+        for t, st in self._stores.items():
+            if st.n:
+                out[t] = eng.delta_rows(st.gids[: st.n], st.mt.dim)
         return out
 
     def error(self, values: Optional[Values] = None) -> float:
-        """Total nonlinear error over all (non-marginalized) factors."""
+        """Total nonlinear error over all live (non-retired) factors.
+
+        Factors absorbed into marginal messages by marginalize_leaves are
+        excluded; the frozen marginal messages themselves are not part of the
+        nonlinear cost (they are Gaussian priors on the separator)."""
         values = values if values is not None else self.calculate_estimate()
         g = self._as_graph()
         return float(g.error(values))
@@ -240,9 +438,19 @@ class ISAM2:
     def marginalize_leaves(self, keys: Sequence[int]) -> None:
         """ISAM2::marginalizeLeaves (ISAM2.cpp:487-724): eliminate the given
         variables out of the tree forever, replacing their factors with
-        cached Gaussian marginals on the live separator variables."""
+        cached Gaussian marginals on the live separator variables. Scope
+        variables of those marginals become FIXED (never relinearized)."""
+        eng = self._engine
         gids = [self._key_gid[int(k)] for k in keys if int(k) in self._key_gid]
-        self._engine.marginalize_leaves(gids)
+        n_msgs_before = len(eng.msgs)
+        retired = eng.marginalize_leaves(gids)
+        for (g, r) in retired:
+            grp = self._groups[g]
+            if grp is not None and r < grp.n:
+                grp.retired[r] = True
+        for mr in eng.msgs[n_msgs_before:]:
+            if mr is not None:
+                self._fixed_gids.update(int(v) for v in mr.scope)
         self._marginalized.update(int(k) for k in keys)
 
     # -- internals --------------------------------------------------------------
@@ -258,6 +466,54 @@ class ISAM2:
         self._engine = IncrementalEngine(d, dtype=leaf.dtype)
         return self._engine
 
+    def _add_variables(self, new_theta: Optional[Values]) -> List[int]:
+        if new_theta is None:
+            return []
+        eng = self._engine
+        new_gids: List[int] = []
+        dims: List[int] = []
+        for t in new_theta.types():
+            st = self._stores.get(t)
+            if st is None:
+                st = self._stores[t] = _TypeStore(t, eng.dtype)
+            params_np = jax.tree_util.tree_map(
+                np.asarray, new_theta.params(t)
+            )
+            keys_t = new_theta.type_keys(t)
+            k = len(keys_t)
+            st.ensure(st.n + k, params_np, eng.dtype)
+            rows = list(range(st.n, st.n + k))
+            for key, row in zip(keys_t, rows):
+                key = int(key)
+                if key in self._key_gid:
+                    raise KeyError(f"key {key} already in ISAM2")
+                gid = len(self._gid_key)
+                self._key_gid[key] = gid
+                self._gid_key.append(key)
+                self._gid_type.append(t)
+                self._gid_row.append(row)
+                st.gids[row] = gid
+                dims.append(st.mt.dim)
+                new_gids.append(gid)
+            # scatter the new rows (shape-padded; stable signatures)
+            Np = _pad(k)
+            idx = np.full(Np, st.cap, dtype=np.int32)
+            idx[:k] = rows
+            vals = jax.tree_util.tree_map(
+                lambda a: np.concatenate(
+                    [a, np.zeros((Np - k,) + a.shape[1:], a.dtype)], axis=0
+                )
+                if Np > k
+                else a,
+                params_np,
+            )
+            st.params = _insert_rows_jit(t, st.cap, Np)(
+                st.params, jnp.asarray(idx), vals
+            )
+            st.n += k
+        eng.add_variables(dims)
+        return new_gids
+
     def _group_for(self, b: FactorBatch) -> int:
         eng = self._engine
         dims = tuple(manifold.get(t).dim for t in b.ftype.var_types)
@@ -266,7 +522,9 @@ class ISAM2:
                 f"factor dims {dims} exceed engine block dim {eng.d}; "
                 "set ISAM2Params.block_dim"
             )
-        key = (b.ftype.name, repr(b.robust), float(b.sign))
+        # key on the objects themselves (FactorType/RobustLoss are frozen
+        # dataclasses): two distinct factor families never share a group
+        key = (b.ftype, b.robust, float(b.sign))
         g = eng.group_for(key, len(dims), dims, b.sign)
         while len(self._groups) <= g:
             self._groups.append(None)
@@ -275,76 +533,80 @@ class ISAM2:
         return g
 
     def _linearize_rows(self, g: int, rows: List[int]):
-        """Re-linearize a subset of one group's factors at current theta.
+        """(Re-)linearize a subset of one group's factors at current theta.
 
-        Returns (A tuple per slot [N, d, dim_k] — engine-padded to d rows —
-        and b [N, d]); N = len(rows) (unpadded; engine scatter pads)."""
+        Returns (A tuple per slot [Np, d, dim_k], b [Np, d]) shape-padded to
+        Np = _pad(len(rows)); engine scatter routes pad rows to trash."""
         grp = self._groups[g]
         ftype = grp.ftype
+        eng = self._engine
         N = len(rows)
         Np = _pad(N)
-        idx = rows + [rows[-1]] * (Np - N)
-        params = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0),
-            *[grp.params[r] for r in idx],
+        idx = np.asarray(rows + [rows[-1]] * (Np - N), dtype=np.int64)
+        params = jax.tree_util.tree_map(lambda a: a[idx], grp.params)
+        sqrt_info = grp.sqrt_info[idx]
+        stores = tuple(
+            self._stores[t].params for t in ftype.var_types
         )
-        sqrt_info = np.stack([grp.sqrt_info[r] for r in idx], axis=0)
-        xs = tuple(
-            jax.tree_util.tree_map(
-                lambda a: a[
-                    self.theta.rows([grp.keys[r][k] for r in idx], t)
-                ],
-                self.theta.params(t),
+        caps = tuple(self._stores[t].cap for t in ftype.var_types)
+        keys_sel = grp.keys[idx]  # [Np, K]
+        row_idx = tuple(
+            np.asarray(
+                [self._gid_row[self._key_gid[int(k)]] for k in keys_sel[:, kk]],
+                dtype=np.int32,
             )
-            for k, t in enumerate(ftype.var_types)
+            for kk in range(keys_sel.shape[1])
         )
-        dtype_str = str(self._engine.dtype)
-        Js, bb = _lin_rows_jit(ftype, grp.robust, Np, dtype_str)(
-            xs, params, sqrt_info
+        fn = _lin_rows_jit(
+            ftype, grp.robust, Np, caps, eng.d, str(eng.dtype)
         )
-        # pad residual dim to engine d rows
-        d = self._engine.d
-        rd = ftype.resid_dim
-        if rd < d:
-            Js = tuple(
-                jnp.pad(Jk, ((0, 0), (0, d - rd), (0, 0))) for Jk in Js
-            )
-            bb = jnp.pad(bb, ((0, 0), (0, d - rd)))
-        return tuple(Jk[:N] for Jk in Js), bb[:N]
+        return fn(stores, row_idx, params, sqrt_info)
 
     def _retract_masked(self, relin_gids: Set[int]):
         """Values::retractMasked (Values.h:229): move the linearization point
-        of ONLY the marked variables by their current delta."""
+        of ONLY the marked variables by their current delta (one fused
+        device call per type, capacity-stable shapes)."""
         eng = self._engine
-        masked = {}
-        for t in self.theta.types():
-            dim = manifold.get(t).dim
-            keys_t = self.theta.type_keys(t)
-            gids = np.asarray(
-                [self._key_gid[int(k)] for k in keys_t], dtype=np.int64
+        by_type: Dict[str, List[int]] = {}
+        for gid in relin_gids:
+            by_type.setdefault(self._gid_type[gid], []).append(gid)
+        for t, gids in by_type.items():
+            st = self._stores[t]
+            mask = np.zeros(st.cap + 1, dtype=bool)
+            gidx = np.full(st.cap + 1, eng.xcap, dtype=np.int32)
+            gidx[: st.n] = st.gids[: st.n]
+            for gid in gids:
+                mask[self._gid_row[gid]] = True
+            fn = _retract_masked_jit(t, st.cap, eng.xcap, str(eng.dtype))
+            st.params = fn(
+                st.params, eng.x, jnp.asarray(gidx), jnp.asarray(mask)
             )
-            mask = np.asarray([g in relin_gids for g in gids])
-            if not mask.any():
+
+    def _theta_values(self) -> Values:
+        v = Values()
+        for t, st in self._stores.items():
+            if st.n == 0:
                 continue
-            dv = eng.delta_rows(gids, dim)
-            masked[t] = jnp.where(jnp.asarray(mask)[:, None], dv, 0.0)
-        if masked:
-            self.theta = self.theta.retract(masked)
+            keys_t = [self._gid_key[g] for g in st.gids[: st.n]]
+            v.insert_batch(
+                keys_t, t,
+                jax.tree_util.tree_map(lambda a: a[: st.n], st.params),
+            )
+        return v
 
     def _as_graph(self) -> NonlinearFactorGraph:
         g = NonlinearFactorGraph()
         for grp in self._groups:
-            if grp is None or not grp.keys:
+            if grp is None or grp.n == 0:
                 continue
-            params = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0),
-                *grp.params,
-            )
+            live = ~grp.retired[: grp.n]
+            if not live.any():
+                continue
             g.add_batch(
                 grp.ftype,
-                np.asarray(grp.keys, dtype=np.uint64),
-                params,
-                np.stack(grp.sqrt_info, axis=0),
+                grp.keys[: grp.n][live].astype(np.uint64),
+                jax.tree_util.tree_map(lambda a: a[: grp.n][live], grp.params),
+                grp.sqrt_info[: grp.n][live],
                 grp.robust,
                 grp.sign,
             )
