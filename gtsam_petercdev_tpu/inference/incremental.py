@@ -295,91 +295,106 @@ class _LocalPlan:
     # parent_lcid)]) where *_lv are indices into local_vars
     levels_meta: List[Tuple]
     n_cliques: int
+    n_blocks: int = 0
+    n_grows: int = 0
+    lvl_offsets: Tuple = ()  # per real level (boff, goff)
+
+
+# --- per-piece jits: compile granularity is a LEVEL SHAPE or a GROUP
+# shape, never a whole plan, so loop-closure plans of any size reuse small
+# cached executables (a whole-plan jit produced pathological multi-minute
+# XLA compiles on large relinearization cascades) ---
 
 
 @lru_cache(maxsize=None)
-def _eliminate_jit(cfg):
-    """The local multifrontal eliminate with index maps as ARGUMENTS.
-
-    cfg = (d, groups, msg_sigs, buckets, n_eye) where
-      groups:   tuple of (K, dims, sign, N_pad) factor-gather groups
-      msg_sigs: tuple of (ns_class, M_pad) message classes
-      buckets:  tuple of (B_pad, nf, ns) one per level, bottom-up
-    Returns the per-bucket partial-Cholesky outputs (to scatter into pools).
-    """
-    d, groups, msg_sigs, buckets, n_eye = cfg
-    dd = d * d
-    n_blocks = sum(B * (nf + ns) ** 2 for (B, nf, ns) in buckets)
-    n_grows = sum(B * (nf + ns) for (B, nf, ns) in buckets)
-
-    def f(fac_args, msg_args, eye_rows, eye_vals, ext_args):
-        dtype = eye_vals.dtype
-        pool = jnp.zeros((n_blocks + 1, dd), dtype=dtype)
-        gp = jnp.zeros((n_grows + 1, d), dtype=dtype)
-
-        upds, idxs, gupds, gidxs = [], [], [], []
-        for (K, dims, sign, N), (A, b, blk, gix) in zip(groups, fac_args):
-            for k in range(K):
-                gk = _einsum("nri,nr->ni", A[k], b)
-                if sign != 1.0:
-                    gk = gk * sign
-                pk = d - gk.shape[-1]
-                gupds.append(jnp.pad(gk, ((0, 0), (0, pk))) if pk else gk)
-                gidxs.append(gix[:, k])
-                for l in range(K):
-                    v = _einsum("nri,nrj->nij", A[k], A[l])
-                    if sign != 1.0:
-                        v = v * sign
-                    v = jnp.pad(
-                        v, ((0, 0), (0, d - v.shape[1]), (0, d - v.shape[2]))
-                    )
-                    upds.append(v.reshape(N, dd))
-                    idxs.append(blk[:, k, l])
-        if idxs:
-            pool = pool.at[jnp.concatenate(idxs)].add(jnp.concatenate(upds))
-            gp = gp.at[jnp.concatenate(gidxs)].add(jnp.concatenate(gupds))
-
-        for (nsc, M), (U, ug, blk, gix) in zip(msg_sigs, msg_args):
-            Ub = (
-                U.reshape(M, nsc, d, nsc, d)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(M * nsc * nsc, dd)
-            )
-            pool = pool.at[blk.reshape(-1)].add(Ub)
-            gp = gp.at[gix.reshape(-1)].add(ug.reshape(M * nsc, d))
-
-        pool = pool.at[eye_rows].add(eye_vals)
-
-        outs = []
-        bad = jnp.zeros((), jnp.int32)
-        boff = goff = 0
-        for (B, nf, ns), (ext_idx, extg_idx) in zip(buckets, ext_args):
-            mb = nf + ns
-            m = mb * d
-            blocks = pool[boff : boff + B * mb * mb]
-            Fm = (
-                blocks.reshape(B, mb, mb, d, d)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(B, m, m)
-            )
-            gm = gp[goff : goff + B * mb].reshape(B, m)
-            out = kernels.partial_cholesky(Fm, gm, nf, d)
-            bad = bad + out["bad"]
-            if ns > 0:
-                Ublk = (
-                    out["U"]
-                    .reshape(B, ns, d, ns, d)
-                    .transpose(0, 1, 3, 2, 4)
-                    .reshape(B * ns * ns, dd)
-                )
-                pool = pool.at[ext_idx.reshape(-1)].add(Ublk)
-                gp = gp.at[extg_idx.reshape(-1)].add(out["ug"].reshape(B * ns, d))
-            outs.append(out)
-            boff += B * mb * mb
-            goff += B * mb
-        return outs, bad
+def _new_pool_jit(Pcap, Gcap, d, dtype_str):
+    def f(dtype_probe):
+        pool = jnp.zeros((Pcap + 1, d * d), dtype=dtype_probe.dtype)
+        gp = jnp.zeros((Gcap + 1, d), dtype=dtype_probe.dtype)
+        return pool, gp
 
     return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _scatter_group_jit(K, dims, sign, Np, d, Pcap, Gcap):
+    """Scatter one factor group's Hessian blocks + gradient into the pool."""
+
+    def f(pool, gp, A, b, blk, gix):
+        for k in range(K):
+            gk = _einsum("nri,nr->ni", A[k], b)
+            if sign != 1.0:
+                gk = gk * sign
+            pk = d - gk.shape[-1]
+            if pk:
+                gk = jnp.pad(gk, ((0, 0), (0, pk)))
+            gp = gp.at[gix[:, k]].add(gk)
+            for l in range(K):
+                v = _einsum("nri,nrj->nij", A[k], A[l])
+                if sign != 1.0:
+                    v = v * sign
+                v = jnp.pad(
+                    v, ((0, 0), (0, d - v.shape[1]), (0, d - v.shape[2]))
+                )
+                pool = pool.at[blk[:, k, l]].add(v.reshape(Np, d * d))
+        return pool, gp
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+@lru_cache(maxsize=None)
+def _scatter_msg_class_jit(nsc, Mp, d, Pcap, Gcap):
+    def f(pool, gp, U, ug, blk, gix):
+        Ub = (
+            U.reshape(Mp, nsc, d, nsc, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(Mp * nsc * nsc, d * d)
+        )
+        pool = pool.at[blk.reshape(-1)].add(Ub)
+        gp = gp.at[gix.reshape(-1)].add(ug.reshape(Mp * nsc, d))
+        return pool, gp
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+@lru_cache(maxsize=None)
+def _scatter_eye_jit(Pp, d, Pcap):
+    def f(pool, rows, vals):
+        return pool.at[rows].add(vals)
+
+    return jax.jit(f, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def _level_jit(B, nf, ns, d, Pcap, Gcap):
+    """Eliminate one level bucket: slice the pool at a dynamic offset,
+    batched partial Cholesky, extend-add the Schur messages back."""
+    mb = nf + ns
+    m = mb * d
+    dd = d * d
+
+    def f(pool, gp, boff, goff, ext_idx, extg_idx):
+        blocks = jax.lax.dynamic_slice(pool, (boff, 0), (B * mb * mb, dd))
+        Fm = (
+            blocks.reshape(B, mb, mb, d, d)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, m, m)
+        )
+        gm = jax.lax.dynamic_slice(gp, (goff, 0), (B * mb, d)).reshape(B, m)
+        out = kernels.partial_cholesky(Fm, gm, nf, d)
+        if ns > 0:
+            Ublk = (
+                out["U"]
+                .reshape(B, ns, d, ns, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B * ns * ns, dd)
+            )
+            pool = pool.at[ext_idx.reshape(-1)].add(Ublk)
+            gp = gp.at[extg_idx.reshape(-1)].add(out["ug"].reshape(B * ns, d))
+        return pool, gp, out
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
 
 
 # ---------------------------------------------------------------------------
@@ -645,10 +660,12 @@ class IncrementalEngine:
         else:
             self._plan_cache.move_to_end(sig)
 
-        # ---- runtime: gather factor rows / messages ----
+        # ---- runtime: assemble the block pool (per-group scatters) ----
+        Pcap = _pad(plan.n_blocks + 1)
+        Gcap = _pad(plan.n_grows + 1)
+        pool, gp = _new_pool_jit(Pcap, Gcap, d, str(self.dtype))(self.x)
         own_fac: Dict[int, List[Tuple[int, int]]] = {}
         own_msg: Dict[int, List[int]] = {}
-        fac_args = []
         for (g, rows, _), (_, N, Np, blk_dev, gix_dev, own_lcid) in zip(
             fac_entries, plan.fac
         ):
@@ -658,12 +675,13 @@ class IncrementalEngine:
             A, b = _gather_fac_jit(fg.K, fg.dims, d, fg.cap, Np)(
                 fg.A, fg.b, jnp.asarray(rows_p)
             )
-            fac_args.append((A, b, blk_dev, gix_dev))
+            pool, gp = _scatter_group_jit(
+                fg.K, fg.dims, fg.sign, Np, d, Pcap, Gcap
+            )(pool, gp, A, b, blk_dev, gix_dev)
             for i in range(N):
                 own_fac.setdefault(int(own_lcid[i]), []).append(
                     (g, int(rows[i]))
                 )
-        msg_args = []
         orphan_owner: Dict[int, int] = {}  # orphan entry idx -> owner lcid
         for (src, pkey, nsc, Mp, blk_dev, gix_dev, order, own_lcid) in plan.msg:
             pc = self.pools[pkey] if src == "clq" else self.msg_pools[pkey]
@@ -679,16 +697,24 @@ class IncrementalEngine:
             U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
                 pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
             )
-            msg_args.append((U, ug, blk_dev, gix_dev))
-
-        # ---- run the eliminate kernel ----
-        outs, bad = _eliminate_jit(plan.cfg)(
-            tuple(fac_args),
-            tuple(msg_args),
-            plan.eye_rows_dev,
-            plan.eye_vals_dev,
-            tuple(plan.ext_dev),
+            pool, gp = _scatter_msg_class_jit(nsc, Mp, d, Pcap, Gcap)(
+                pool, gp, U, ug, blk_dev, gix_dev
+            )
+        pool = _scatter_eye_jit(plan.eye_rows_dev.shape[0], d, Pcap)(
+            pool, plan.eye_rows_dev, plan.eye_vals_dev
         )
+
+        # ---- bottom-up level sweep (one small jit per level SHAPE) ----
+        outs = []
+        bad = jnp.zeros((), jnp.int32)
+        for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
+            boff, goff = plan.lvl_offsets[li]
+            ext_dev, extg_dev = plan.ext_dev[li]
+            pool, gp, out = _level_jit(Bp, nf, ns, d, Pcap, Gcap)(
+                pool, gp, boff, goff, ext_dev, extg_dev
+            )
+            bad = bad + out["bad"]
+            outs.append(out)
 
         # ---- retire dead cliques, free pool rows ----
         for cid in dead:
@@ -827,7 +853,9 @@ class IncrementalEngine:
         mb_of = np.zeros(len(cliques), dtype=np.int64)
         boff = goff = 0
         dummy_diag_rows = []
+        lvl_offsets = []
         for (bk, Bp) in real_buckets:
+            lvl_offsets.append((boff, goff))
             mb = bk.nf + bk.ns
             for i, cid in enumerate(bk.cliques):
                 blk_base[cid] = boff + i * mb * mb
@@ -975,9 +1003,8 @@ class IncrementalEngine:
                 )
             levels_meta.append((bk.nf, bk.ns, len(bk.cliques), Bp, clqs))
 
-        cfg = (d, tuple(groups_sig), tuple(msg_sigs), bucket_sig, Pp)
         return _LocalPlan(
-            cfg=cfg,
+            cfg=(),
             fac=plan_fac,
             msg=plan_msg,
             eye_rows_dev=jnp.asarray(eye_rows_np),
@@ -985,6 +1012,9 @@ class IncrementalEngine:
             ext_dev=ext_dev,
             levels_meta=levels_meta,
             n_cliques=len(cliques),
+            n_blocks=n_blocks,
+            n_grows=n_grows,
+            lvl_offsets=tuple(lvl_offsets),
         )
 
     # -- wildfire ---------------------------------------------------------------

@@ -210,19 +210,22 @@ def test_isam2_no_recompile_steady_state(rng):
         isam.update(nf, nv)
         if i == 25:
             counts = (
-                inc._eliminate_jit.cache_info().currsize,
+                inc._level_jit.cache_info().currsize,
+                inc._scatter_group_jit.cache_info().currsize,
                 inc._wild_jit.cache_info().currsize,
                 inc._scatter_pool_jit.cache_info().currsize,
             )
     after = (
-        inc._eliminate_jit.cache_info().currsize,
+        inc._level_jit.cache_info().currsize,
+        inc._scatter_group_jit.cache_info().currsize,
         inc._wild_jit.cache_info().currsize,
         inc._scatter_pool_jit.cache_info().currsize,
     )
-    # the eliminate kernel (the expensive compile) must be fully steady;
+    # the eliminate kernels (the expensive compiles) must be fully steady;
     # wildfire/scatter kernels may recompile on pool-capacity doublings
     # (log growth by design), never per step
-    assert after[0] == counts[0], f"eliminate recompiled: {counts} -> {after}"
-    assert after[1] - counts[1] <= 4 and after[2] - counts[2] <= 4, (
+    assert after[0] == counts[0], f"level kernels recompiled: {counts} -> {after}"
+    assert after[1] == counts[1], f"scatter recompiled: {counts} -> {after}"
+    assert after[2] - counts[2] <= 4 and after[3] - counts[3] <= 4, (
         f"per-step recompiles: {counts} -> {after}"
     )
