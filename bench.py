@@ -86,21 +86,69 @@ def main():
     iter_ms = float(np.median(times))
     base = _baseline_ms()
     vs = (base / iter_ms) if base else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "sphere2500_gn_iter_ms",
-                "value": round(iter_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(vs, 3),
-            }
-        )
-    )
+
+    # secondary: BA LM-iteration throughput (landmark Schur elimination +
+    # reduced camera solve) on the BAL dubrovnik sequence — the north-star
+    # "BA iterations/sec/chip" number (reference timing/timeSFMBAL*.cpp)
+    ba_its = None
+    try:
+        ba_its = _ba_iters_per_s()
+    except Exception as e:
+        print(f"# BA bench failed: {e!r}", file=sys.stderr)
+
+    rec = {
+        "metric": "sphere2500_gn_iter_ms",
+        "value": round(iter_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }
+    if ba_its is not None:
+        rec["extras"] = {"ba_dubrovnik_lm_iters_per_s": round(ba_its, 2)}
+    print(json.dumps(rec))
     print(
         f"# compile {compile_s:.1f}s, times {['%.1f' % t for t in times]}, "
         f"backend {jax.default_backend()}",
         file=sys.stderr,
     )
+
+
+def _ba_iters_per_s():
+    """Median wall-clock of one jitted BA LM inner iteration (linearize +
+    Schur landmark elimination + camera solve + retract) on dubrovnik."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtsam_petercdev_tpu.models.bundle_adjustment import build_ba_graph
+    from gtsam_petercdev_tpu.sfm import schur
+    from gtsam_petercdev_tpu.sfm.bal import read_bal
+
+    data = read_bal(
+        "/root/reference/examples/Data/dubrovnik-3-7-pre.txt"
+    )
+    graph, values = build_ba_graph(data, dtype=jnp.float32)
+    lg0 = graph.linearize(values)
+    plan = schur.build_schur_plan(lg0)
+    rows_static = tuple(
+        tuple(np.asarray(r) for r in lb.rows) for lb in lg0.batches
+    )
+
+    @jax.jit
+    def lm_iter(values_in):
+        lg = graph.linearize(values_in)
+        Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+        delta = schur.schur_solve(plan, rows_static, Ab, 1e-4)
+        return values_in.retract(delta)
+
+    out = lm_iter(values)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    times = []
+    cur = values
+    for _ in range(5):
+        t0 = time.perf_counter()
+        cur = lm_iter(cur)
+        jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+        times.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(times))
 
 
 if __name__ == "__main__":
