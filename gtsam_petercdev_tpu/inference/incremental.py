@@ -431,7 +431,13 @@ class IncrementalEngine:
         # update's structure repeats -> all host planning + index-map
         # uploads are skipped)
         self._plan_cache: "OrderedDict[Tuple, _LocalPlan]" = OrderedDict()
-        self._plan_cache_cap = 512
+        self._plan_cache_cap = 128
+        # engine-global scratch-pool capacities (monotone, x4 growth): the
+        # assembly/level kernels' jit signatures include these, so keeping
+        # them global bounds the number of distinct compiled executables
+        # (per-plan capacities caused unbounded compile churn -> OOM)
+        self.pool_cap = 4096
+        self.gp_cap = 1024
 
     # -- variables / factors ------------------------------------------------
 
@@ -661,8 +667,12 @@ class IncrementalEngine:
             self._plan_cache.move_to_end(sig)
 
         # ---- runtime: assemble the block pool (per-group scatters) ----
-        Pcap = _pad(plan.n_blocks + 1)
-        Gcap = _pad(plan.n_grows + 1)
+        while self.pool_cap < plan.n_blocks + 1:
+            self.pool_cap *= 4
+        while self.gp_cap < plan.n_grows + 1:
+            self.gp_cap *= 4
+        Pcap = self.pool_cap
+        Gcap = self.gp_cap
         pool, gp = _new_pool_jit(Pcap, Gcap, d, str(self.dtype))(self.x)
         own_fac: Dict[int, List[Tuple[int, int]]] = {}
         own_msg: Dict[int, List[int]] = {}
