@@ -2,11 +2,17 @@
 
 Reference: gtsam/discrete/DiscreteSearch.{h,cpp} — best-first search over the
 elimination order returning the K most-probable-explanations. Here the search
-is a beam over variables in elimination order, expanding each partial
-assignment with every value of the next variable and keeping the K best
-upper-bounded partials. With beam >= prod(cards) this is exact; the bound
-used is the product of each remaining factor's max over unassigned vars
-(admissible), so the K results are exact MPEs for consistent heuristics.
+is a BEAM over variables in elimination order, expanding each partial
+assignment with every value of the next variable and keeping the `beam` best
+upper-bounded partials (bound: product of each remaining factor's max over
+unassigned vars, an admissible heuristic).
+
+NOTE on exactness: unlike the reference's best-first search, a finite beam
+may prune the true optimum — results are exact only when `beam` is at least
+the number of surviving partials at every level (guaranteed when
+beam >= prod(cards)); otherwise this is an approximate anytime search.
+Callers needing guaranteed-exact K-best should raise `beam` (the default
+test configs use exhaustive beams).
 """
 
 from __future__ import annotations

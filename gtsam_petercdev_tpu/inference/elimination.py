@@ -655,7 +655,13 @@ def solve_linearized(graph, values, lam, diagonal_damping=False, cache=None):
     plan, maps = ent
 
     Ab = tuple((lb.A, lb.b) for lb in lg.batches)
-    x = multifrontal_solve(maps, Ab, lam, diagonal_damping=diagonal_damping)
+    x, stats = multifrontal_solve(
+        maps, Ab, lam, diagonal_damping=diagonal_damping, return_stats=True
+    )
+    # surface clamped-pivot count so LM can reject indefinite (H + lam D)
+    # trials (LevenbergMarquardtOptimizer.cpp:155-160 catches the
+    # IndeterminantLinearSystemException and retries with larger lambda)
+    cache["bad_pivots"] = stats["bad_pivots"]
     delta = {t: x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]] for t in types}
 
     # linearized cost decrease for LM rho

@@ -8,10 +8,12 @@ Sigma^{-1} = sqrt_info^T sqrt_info. Diagonal/Isotropic/Unit are constructors
 that fill the dense form — block dims are tiny (1-15), so the uniform dense
 layout is what lets all whitening ride one batched matmul on the MXU.
 
-Constrained models (sigma == 0 rows, NoiseModel.h:260) are represented by a
-large-but-finite weight on those rows (mu), the standard penalty treatment —
-the reference's exact staggered-QR path (NoiseModel.cpp:503) is host-unfriendly
-on TPU and the penalty form matches within tolerance for its uses here.
+Constrained models (sigma == 0 rows, NoiseModel.h:260) have two treatments:
+`diagonal_sigmas` applies a large-but-finite weight (mu penalty), while
+`constrained_sigmas` / `constrained_all` flag the rows for the EXACT
+nullspace-QR solve in linear/qr.py — the TPU-native equivalent of the
+reference's staggered constrained QR (NoiseModel.cpp:503), which eliminates
+the equality constraints analytically instead of row-staggering a host QR.
 
 Robust m-estimators (gtsam/linear/LossFunctions.h) are pure weight functions
 w(||r||) applied as IRLS row scaling at linearization time, matching
@@ -47,6 +49,28 @@ def diagonal_sigmas(sigmas, mu: float = DEFAULT_CONSTRAINED_MU) -> np.ndarray:
     w = np.where(sigmas == 0.0, mu, 1.0 / np.where(sigmas == 0.0, 1.0, sigmas))
     d = sigmas.shape[-1]
     return w[..., :, None] * np.eye(d, dtype=sigmas.dtype)
+
+
+def constrained_sigmas(sigmas):
+    """Diagonal::Sigmas with EXACT sigma==0 constraints (NoiseModel.h:260).
+
+    Returns (sqrt_info, constrained_mask): constrained rows carry weight 1
+    (the raw residual row IS the constraint equation c(x)=0) and the mask
+    flags them for the exact constrained-QR solve (linear/qr.py) — the
+    TPU-native analog of the reference's staggered constrained QR
+    (gtsam/linear/NoiseModel.cpp:503). Pass both to
+    NonlinearFactorGraph.add(..., constrained_mask=mask).
+    """
+    sigmas = np.asarray(sigmas)
+    mask = sigmas == 0.0
+    w = np.where(mask, 1.0, 1.0 / np.where(mask, 1.0, sigmas))
+    d = sigmas.shape[-1]
+    return w[..., :, None] * np.eye(d, dtype=sigmas.dtype), mask
+
+
+def constrained_all(dim: int, dtype=np.float64):
+    """Constrained::All — every row an exact equality (NonlinearEquality)."""
+    return np.eye(dim, dtype=dtype), np.ones(dim, dtype=bool)
 
 
 def diagonal_precisions(precisions) -> np.ndarray:

@@ -72,6 +72,11 @@ def build_subgraph(
     """
     t = _single_type(lg)
     n = lg.type_counts[t]
+    if any(lb.sign != 1.0 for lb in lg.batches):
+        raise NotImplementedError(
+            "subgraph preconditioner does not support sign=-1 (AntiFactor) "
+            "batches; use the dense or multifrontal solver"
+        )
     edges = []  # (batch index, row index, u, v, weight)
     for bi, lb in enumerate(lg.batches):
         if len(lb.var_types) == 2:

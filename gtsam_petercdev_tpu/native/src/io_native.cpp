@@ -6,7 +6,7 @@
 // (City10000: 10^5 lines), so it stays native: one mmap-free streaming pass
 // with strtod, zero allocations per line beyond vector growth.
 //
-// Exposed as a C ABI consumed via ctypes (gtsam_petercdev_tpu/utils/native.py).
+// Exposed as a C ABI consumed via ctypes (gtsam_petercdev_tpu/native/__init__.py).
 
 #include <cmath>
 #include <cstdio>

@@ -61,14 +61,15 @@ class FactorBatch:
     robust: Optional[RobustLoss] = None
     # +1.0 normal factor; -1.0 subtracts information (slam/AntiFactor.h)
     sign: float = 1.0
+    # [N, d] bool: rows that are EXACT equality constraints (sigma == 0,
+    # NoiseModel.h Constrained). Such rows carry weight 1 in sqrt_info and
+    # are handled by the exact constrained-QR solve path (linear/qr.py),
+    # not the mu-penalty approximation.
+    constrained_mask: Optional[np.ndarray] = None
 
     @property
     def size(self) -> int:
         return self.keys.shape[0]
-
-
-class GaussianFactorBatch(Tuple):
-    pass
 
 
 @dataclass
@@ -80,6 +81,7 @@ class LinearBatch:
     A: Tuple[jnp.ndarray, ...]  # per slot, [N, d, dim_k]
     b: jnp.ndarray  # [N, d]
     sign: float = 1.0  # -1.0: information is SUBTRACTED (AntiFactor)
+    constrained_mask: Optional[np.ndarray] = None  # [N, d] bool host-side
 
 
 @dataclass
@@ -154,6 +156,7 @@ class NonlinearFactorGraph:
         sqrt_info,
         robust: Optional[RobustLoss] = None,
         sign: float = 1.0,
+        constrained_mask=None,
     ) -> "NonlinearFactorGraph":
         keys = np.asarray(keys, dtype=np.uint64).reshape(-1, len(ftype.var_types))
         n = keys.shape[0]
@@ -168,20 +171,41 @@ class NonlinearFactorGraph:
             sqrt_info = np.broadcast_to(
                 sqrt_info, (n, ftype.resid_dim, ftype.resid_dim)
             )
-        self.batches.append(FactorBatch(ftype, keys, params, sqrt_info, robust, sign))
+        if constrained_mask is not None:
+            constrained_mask = np.broadcast_to(
+                np.asarray(constrained_mask, dtype=bool), (n, ftype.resid_dim)
+            )
+        self.batches.append(
+            FactorBatch(
+                ftype, keys, params, sqrt_info, robust, sign, constrained_mask
+            )
+        )
         return self
 
-    def add(self, ftype, keys, params, sqrt_info, robust=None, sign: float = 1.0):
+    def add(
+        self,
+        ftype,
+        keys,
+        params,
+        sqrt_info,
+        robust=None,
+        sign: float = 1.0,
+        constrained_mask=None,
+    ):
         """Add a single factor (staged; batched together per type+robust+sign)."""
-        tag = (ftype.name, repr(robust), sign)
-        entry = self._pending.setdefault(tag, (ftype, [], [], [], robust, sign))
+        tag = (ftype.name, repr(robust), sign, constrained_mask is not None)
+        entry = self._pending.setdefault(
+            tag, (ftype, [], [], [], robust, sign, [])
+        )
         entry[1].append(np.asarray(keys, dtype=np.uint64))
         entry[2].append(params)
         entry[3].append(np.asarray(sqrt_info))
+        if constrained_mask is not None:
+            entry[6].append(np.asarray(constrained_mask, dtype=bool))
         return self
 
     def _materialize(self):
-        for (ftype, keys, params, infos, robust, sign) in self._pending.values():
+        for (ftype, keys, params, infos, robust, sign, masks) in self._pending.values():
             stacked_params = jax.tree_util.tree_map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs], axis=0), *params
             )
@@ -192,6 +216,7 @@ class NonlinearFactorGraph:
                 np.stack(infos, axis=0),
                 robust,
                 sign,
+                np.stack(masks, axis=0) if masks else None,
             )
         self._pending = {}
 
@@ -273,7 +298,7 @@ class NonlinearFactorGraph:
             out.append(
                 LinearBatch(
                     var_types=batch.ftype.var_types, rows=rows, A=Js, b=-r_w,
-                    sign=batch.sign,
+                    sign=batch.sign, constrained_mask=batch.constrained_mask,
                 )
             )
         counts = {

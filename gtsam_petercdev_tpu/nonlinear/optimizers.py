@@ -96,27 +96,52 @@ def _build_fns(graph: NonlinearFactorGraph, params: OptimizerParams):
         return values.retract(delta)
 
     if params.solver == "dense":
+        graph._materialize()
+        constrained = any(
+            b.constrained_mask is not None and b.constrained_mask.any()
+            for b in graph.batches
+        )
+        if constrained:
+            # exact sigma==0 equality rows -> nullspace LSE (linear/qr.py)
+            from gtsam_petercdev_tpu.linear import qr as linqr
 
-        @jax.jit
-        def assemble_fn(values: Values):
-            lg = graph.linearize(values)
-            return linsolve.assemble_dense(lg)
+            @jax.jit
+            def assemble_fn(values: Values):
+                lg = graph.linearize(values)
+                return linqr.assemble_constrained(lg)
 
-        @jax.jit
-        def solve_fn(H, g, lam):
-            x = linsolve.dense_solve(
-                H, g, lam, diagonal_damping=getattr(params, "diagonal_damping", False)
-            )
-            # linearized cost change of the UNdamped model:
-            # 0.5||r||^2 - 0.5||r - J d||^2 = g.d - 0.5 d^T H d
-            lin_decrease = jnp.dot(g, x) - 0.5 * jnp.dot(x, H @ x)
-            return x, lin_decrease
+            @jax.jit
+            def solve_fn(HgCd, lam):
+                H, g, C, d = HgCd
+                return linqr.solve_lse(
+                    H, g, C, d, lam,
+                    diagonal_damping=getattr(params, "diagonal_damping", False),
+                )
+
+        else:
+
+            @jax.jit
+            def assemble_fn(values: Values):
+                lg = graph.linearize(values)
+                return linsolve.assemble_dense(lg)
+
+            @jax.jit
+            def solve_fn(Hg, lam):
+                H, g = Hg
+                x = linsolve.dense_solve(
+                    H, g, lam,
+                    diagonal_damping=getattr(params, "diagonal_damping", False),
+                )
+                # linearized cost change of the UNdamped model:
+                # 0.5||r||^2 - 0.5||r - J d||^2 = g.d - 0.5 d^T H d
+                lin_decrease = jnp.dot(g, x) - 0.5 * jnp.dot(x, H @ x)
+                return x, lin_decrease
 
         def solve(values, lam, cache):
             if cache.get("Hg") is None:
                 cache["Hg"] = assemble_fn(values)
-            H, g = cache["Hg"]
-            x, lin_dec = solve_fn(H, g, jnp.asarray(lam, dtype=H.dtype))
+            Hg = cache["Hg"]
+            x, lin_dec = solve_fn(Hg, jnp.asarray(lam, dtype=Hg[0].dtype))
             lg_counts = cache["lg_counts"]
             delta = _unflatten(lg_counts, x)
             return delta, lin_dec
@@ -230,6 +255,19 @@ def levenberg_marquardt(
         accepted = False
         for _try in range(params.max_try_iterations):
             delta, lin_decrease = solve(values, lam, cache)
+            bad = cache.pop("bad_pivots", None)
+            if bad is not None and int(bad) > 0:
+                # (H + lam D) indefinite at this lambda: the factorization
+                # clamped pivots, so the step direction is garbage — reject
+                # the trial outright and re-damp, mirroring the reference's
+                # IndeterminantLinearSystemException retry
+                # (LevenbergMarquardtOptimizer.cpp:155-160).
+                if params.verbose:
+                    print(f"LM iter {it} lam={lam:.2e}: {int(bad)} bad pivots, re-damping")
+                lam *= params.lambda_factor
+                if lam > params.lambda_upper_bound:
+                    break
+                continue
             new_values = retract_fn(values, delta)
             new_err = float(err_fn(new_values))
             cost_change = err - new_err

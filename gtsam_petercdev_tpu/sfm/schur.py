@@ -52,6 +52,11 @@ class SchurPlan:
 def build_schur_plan(lg: LinearizedGraph) -> SchurPlan:
     types = set(lg.type_counts.keys())
     assert POINT_TYPE in types and len(types) == 2, types
+    if any(lb.sign != 1.0 for lb in lg.batches):
+        raise NotImplementedError(
+            "schur solver does not support sign=-1 (AntiFactor) batches; "
+            "use the dense or multifrontal solver"
+        )
     cam_type = next(t for t in types if t != POINT_TYPE)
     dc = manifold.get(cam_type).dim
     proj, cam_only, pt_only, pairs = [], [], [], []
