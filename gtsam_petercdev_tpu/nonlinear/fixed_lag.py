@@ -214,3 +214,79 @@ class BatchFixedLagSmoother:
 
     def calculate_estimate(self) -> Values:
         return self.values
+
+
+class IncrementalFixedLagSmoother:
+    """Fixed-lag smoothing on the incremental Bayes-tree engine.
+
+    Reference: gtsam_unstable/nonlinear/IncrementalFixedLagSmoother.{h,cpp}:42
+    — an ISAM2 whose out-of-lag variables are marginalized out of the tree
+    each update instead of re-solving a batch window. The recipe:
+
+      1. isam.update(new_factors, new_theta) — incremental re-elimination.
+      2. Keys with timestamp < t_latest - lag are marginalized via
+         ISAM2.marginalizeLeaves: the engine re-eliminates with those keys
+         constrained FIRST (leaf-most) and merge-barred, then converts their
+         cliques' cached separator messages into persistent Gaussian
+         marginal factors (the LinearContainerFactor analog). Scope
+         variables of those marginals are pinned against relinearization
+         (fixedVariables_), so the frozen messages stay valid.
+
+    Per-step cost is bounded by the lag window: the tree never grows beyond
+    the live variables, and steady-state updates reuse warm jit caches
+    (capacity-padded shapes — see nonlinear/isam2.py).
+    """
+
+    def __init__(
+        self,
+        lag: float,
+        isam_params: Optional["ISAM2Params"] = None,
+    ):
+        from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+
+        self.lag = float(lag)
+        self.isam = ISAM2(isam_params or ISAM2Params())
+        self.timestamps: Dict[int, float] = {}
+        self._deferred: List[int] = []  # keys that weren't cleanly leaf-pure
+
+    def update(
+        self,
+        new_factors: Optional[NonlinearFactorGraph] = None,
+        new_values: Optional[Values] = None,
+        timestamps: Optional[Dict[int, float]] = None,
+    ) -> FixedLagSmootherResult:
+        if timestamps:
+            self.timestamps.update(
+                {int(k): float(t) for k, t in timestamps.items()}
+            )
+        res = self.isam.update(new_factors, new_values)
+
+        current = max(self.timestamps.values()) if self.timestamps else 0.0
+        old = sorted(
+            k for k, t in self.timestamps.items() if t < current - self.lag
+        )
+        old = self._deferred + [k for k in old if k not in self._deferred]
+        marginalized: List[int] = []
+        if old:
+            try:
+                self.isam.marginalize_leaves(old)
+                marginalized = old
+                self._deferred = []
+            except RuntimeError:
+                # a key wasn't leaf-pure this round (e.g. a brand-new loop
+                # factor straddles the boundary); retry one-by-one so the
+                # clean ones still leave, defer the rest to the next update
+                self._deferred = []
+                for k in old:
+                    try:
+                        self.isam.marginalize_leaves([k])
+                        marginalized.append(k)
+                    except RuntimeError:
+                        self._deferred.append(k)
+            for k in marginalized:
+                self.timestamps.pop(k, None)
+        est = self.isam.calculate_estimate()
+        return FixedLagSmootherResult(est, -1.0, 1, marginalized)
+
+    def calculate_estimate(self) -> Values:
+        return self.isam.calculate_estimate()

@@ -398,13 +398,22 @@ class ISAM2:
             gidx = np.full(st.cap + 1, eng.xcap, dtype=np.int32)
             gidx[: st.n] = st.gids[: st.n]
             newp = fn(st.params, eng.x, jnp.asarray(gidx), jnp.asarray(mask))
-            keys_t = [
-                self._gid_key[g] for g in st.gids[: st.n]
-            ]
-            v.insert_batch(
-                keys_t, t,
-                jax.tree_util.tree_map(lambda a: a[: st.n], newp),
+            keys_t = [self._gid_key[g] for g in st.gids[: st.n]]
+            # marginalized variables are gone from theta (ISAM2.cpp:717)
+            live = np.asarray(
+                [k not in self._marginalized for k in keys_t], dtype=bool
             )
+            if live.all():
+                v.insert_batch(
+                    keys_t, t,
+                    jax.tree_util.tree_map(lambda a: a[: st.n], newp),
+                )
+            elif live.any():
+                (idx,) = np.nonzero(live)
+                v.insert_batch(
+                    [keys_t[i] for i in idx], t,
+                    jax.tree_util.tree_map(lambda a: a[jnp.asarray(idx)], newp),
+                )
         return v
 
     def calculate_estimate_key(self, key: int):
@@ -588,10 +597,24 @@ class ISAM2:
             if st.n == 0:
                 continue
             keys_t = [self._gid_key[g] for g in st.gids[: st.n]]
-            v.insert_batch(
-                keys_t, t,
-                jax.tree_util.tree_map(lambda a: a[: st.n], st.params),
+            live = np.asarray(
+                [k not in self._marginalized for k in keys_t], dtype=bool
             )
+            if not live.any():
+                continue
+            (idx,) = np.nonzero(live)
+            if live.all():
+                v.insert_batch(
+                    keys_t, t,
+                    jax.tree_util.tree_map(lambda a: a[: st.n], st.params),
+                )
+            else:
+                v.insert_batch(
+                    [keys_t[i] for i in idx], t,
+                    jax.tree_util.tree_map(
+                        lambda a: a[jnp.asarray(idx)], st.params
+                    ),
+                )
         return v
 
     def _as_graph(self) -> NonlinearFactorGraph:

@@ -98,3 +98,63 @@ def test_fixed_lag_matches_batch():
     for k in smoother.values.keys():
         d = np.asarray(pose2.local(smoother.values.at(k), batch.values.at(k)))
         assert np.linalg.norm(d) < 1e-3, (k, d)
+
+
+def test_incremental_fixed_lag_matches_batch():
+    """IncrementalFixedLagSmoother (ISAM2 + marginalizeLeaves): in-window
+    estimates match the full batch solution; tree size stays bounded over a
+    horizon 10x the lag (IncrementalFixedLagSmoother.h:42 semantics)."""
+    from gtsam_petercdev_tpu.nonlinear.fixed_lag import IncrementalFixedLagSmoother
+    from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2Params
+
+    rng = np.random.default_rng(7)
+    T = 40
+    lag = 4.0
+    gt, odo, meas = _simulate(T, rng)
+    un = _unary_xy()
+    m_un = noise.isotropic(2, 0.05, jnp.float64)
+    m_odo = noise.isotropic(3, 0.02, jnp.float64)
+
+    smoother = IncrementalFixedLagSmoother(
+        lag,
+        ISAM2Params(
+            relinearize_threshold=0.0,
+            relinearize_skip=1,
+            wildfire_threshold=0.0,
+        ),
+    )
+    batch_graph = NonlinearFactorGraph()
+    batch_values = Values()
+
+    max_live = 0
+    est = None
+    for t in range(T):
+        nf = NonlinearFactorGraph()
+        nv = Values()
+        init = gt[t] if t == 0 else pose2.compose(est.at(t - 1), odo)
+        nv.insert(t, "Pose2", init)
+        batch_values.insert(t, "Pose2", init)
+        nf.add(un, [t], jnp.asarray(meas[t]), m_un)
+        batch_graph.add(un, [t], jnp.asarray(meas[t]), m_un)
+        if t == 0:
+            pr = noise.isotropic(3, 0.01, jnp.float64)
+            nf.add(prior_factor("Pose2"), [0], gt[0], pr)
+            batch_graph.add(prior_factor("Pose2"), [0], gt[0], pr)
+        else:
+            nf.add(between_factor("Pose2"), [t - 1, t], odo, m_odo)
+            batch_graph.add(between_factor("Pose2"), [t - 1, t], odo, m_odo)
+        r = smoother.update(nf, nv, {t: float(t)})
+        est = r.values
+        max_live = max(max_live, smoother.isam.engine.n_live)
+
+    # window (and tree) bounded: horizon is 10x lag yet live cliques never
+    # exceeded the window size
+    assert len(est) <= int(lag) + 2
+    assert max_live <= int(lag) + 3, max_live
+
+    batch = optimizers.levenberg_marquardt(
+        batch_graph, batch_values, optimizers.LMParams(max_iterations=30)
+    )
+    for k in est.keys():
+        d = np.asarray(pose2.local(est.at(k), batch.values.at(k)))
+        assert np.linalg.norm(d) < 2e-3, (k, d)
