@@ -70,6 +70,23 @@ def _pad_class(x: int) -> int:
     return _pad(x)
 
 
+_B_CHUNK = 64
+
+
+def _b_class(x: int) -> int:
+    """Batch-size classes for the level/wildfire/scatter kernels: {1,4,16,64}.
+
+    Much coarser than pow2 and CAPPED at _B_CHUNK — larger batches run as
+    several chunked calls of the same compiled executable. The batch axis was
+    the main driver of jit-signature explosion on City10000 loop closures
+    (8 pow2 values x 39 (nf,ns) classes x capacity values = hundreds of XLA
+    compiles); with 4 values it saturates within the first closures."""
+    for c in (1, 4, 16, _B_CHUNK):
+        if x <= c:
+            return c
+    return _B_CHUNK
+
+
 # ---------------------------------------------------------------------------
 # device pools
 # ---------------------------------------------------------------------------
@@ -105,36 +122,70 @@ class PoolClass:
         return r
 
 
+@lru_cache(maxsize=None)
+def _make_pool_jit(nf, ns, d, cap, dtype_str):
+    """Fused allocation of one class's zeroed payload arrays (eager jnp.zeros
+    was ~13ms per array on the City10000 hot path)."""
+
+    def f(probe):
+        fd, sd = nf * d, ns * d
+        z = lambda *s: jnp.zeros(s, dtype=probe.dtype)
+        return PoolArrays(
+            L=z(cap + 1, fd, fd),
+            Linv=z(cap + 1, nf, d, d),
+            W=z(cap + 1, fd, sd),
+            y=z(cap + 1, fd),
+            U=z(cap + 1, sd, sd),
+            ug=z(cap + 1, sd),
+        )
+
+    return jax.jit(f)
+
+
 def _make_pool(nf, ns, d, cap, dtype) -> PoolArrays:
-    fd, sd = nf * d, ns * d
-    z = lambda *s: jnp.zeros(s, dtype=dtype)
-    return PoolArrays(
-        L=z(cap + 1, fd, fd),
-        Linv=z(cap + 1, nf, d, d),
-        W=z(cap + 1, fd, sd),
-        y=z(cap + 1, fd),
-        U=z(cap + 1, sd, sd),
-        ug=z(cap + 1, sd),
-    )
+    probe = jnp.zeros((), dtype=dtype)
+    return _make_pool_jit(nf, ns, d, cap, str(dtype))(probe)
+
+
+@lru_cache(maxsize=None)
+def _grow_pool_jit(nf, ns, d, old_cap, new_cap, dtype_str):
+    def f(old: PoolArrays):
+        fd, sd = nf * d, ns * d
+        z = lambda *s: jnp.zeros(s, dtype=old.L.dtype)
+        return PoolArrays(
+            L=z(new_cap + 1, fd, fd).at[:old_cap].set(old.L[:old_cap]),
+            Linv=z(new_cap + 1, nf, d, d).at[:old_cap].set(old.Linv[:old_cap]),
+            W=z(new_cap + 1, fd, sd).at[:old_cap].set(old.W[:old_cap]),
+            y=z(new_cap + 1, fd).at[:old_cap].set(old.y[:old_cap]),
+            U=z(new_cap + 1, sd, sd).at[:old_cap].set(old.U[:old_cap]),
+            ug=z(new_cap + 1, sd).at[:old_cap].set(old.ug[:old_cap]),
+        )
+
+    return jax.jit(f, donate_argnums=0)
 
 
 def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:
-    # small clique classes start big and grow 4x (few distinct capacity
-    # values -> few jit signatures); large classes grow conservatively
+    # few distinct capacity values -> few jit signatures: every class
+    # starts at a generous floor and grows 4x
     if p.nf + p.ns <= 8:
         new_cap = max(256, p.cap * 4)
     else:
-        new_cap = max(8, p.cap * 2)
-    na = _make_pool(p.nf, p.ns, d, new_cap, dtype)
-    na = PoolArrays(*[
-        a.at[: p.cap].set(b[: p.cap]) for a, b in zip(na, p.arrays)
-    ])
+        new_cap = max(64, p.cap * 4)
+    na = _grow_pool_jit(p.nf, p.ns, d, p.cap, new_cap, str(dtype))(p.arrays)
     return PoolClass(p.nf, p.ns, new_cap, na, p.free, p.top)
 
 
 # ---------------------------------------------------------------------------
 # host records
 # ---------------------------------------------------------------------------
+
+
+class _BucketChunk(NamedTuple):
+    """A <=_B_CHUNK slice of one level bucket (same (nf, ns) class)."""
+
+    nf: int
+    ns: int
+    cliques: Tuple
 
 
 @dataclass
@@ -435,9 +486,12 @@ class IncrementalEngine:
         # engine-global scratch-pool capacities (monotone, x4 growth): the
         # assembly/level kernels' jit signatures include these, so keeping
         # them global bounds the number of distinct compiled executables
-        # (per-plan capacities caused unbounded compile churn -> OOM)
-        self.pool_cap = 4096
-        self.gp_cap = 1024
+        # (per-plan capacities caused unbounded compile churn -> OOM).
+        # Start at the City10000-scale working set (a few MB) so the axis
+        # contributes ONE value for the whole run instead of re-compiling
+        # every kernel at each growth step.
+        self.pool_cap = 65536
+        self.gp_cap = 8192
 
     # -- variables / factors ------------------------------------------------
 
@@ -852,7 +906,17 @@ class IncrementalEngine:
             p = c._fpos.get(pv)
             return p if p is not None else c.bucket[0] + c._spos[pv]
 
-        real_buckets = [(lv[0], _pad(len(lv[0].cliques))) for lv in plan.levels]
+        # split each level's bucket into <=_B_CHUNK chunks (chunks of one
+        # level are independent: parents live in strictly later levels, so
+        # sequential chunk calls preserve the bottom-up extend-add order)
+        real_buckets = []
+        for lv in plan.levels:
+            bk = lv[0]
+            for s in range(0, max(1, len(bk.cliques)), _B_CHUNK):
+                chunk = bk.cliques[s : s + _B_CHUNK]
+                real_buckets.append(
+                    (_BucketChunk(bk.nf, bk.ns, chunk), _b_class(len(chunk)))
+                )
         n_levels_pad = _pad(max(1, len(real_buckets)))
         bucket_sig = tuple((Bp, bk.nf, bk.ns) for bk, Bp in real_buckets) + tuple(
             (1, 1, 0) for _ in range(n_levels_pad - len(real_buckets))
@@ -1036,10 +1100,20 @@ class IncrementalEngine:
         for cid in cids:
             by_cls.setdefault(self.cliques[cid].cls, []).append(cid)
         changes: Dict[int, float] = {}
-        for cls, group in sorted(by_cls.items()):
+        for cls, full_group in sorted(by_cls.items()):
             nf, ns = cls
             pc = self.pools[cls]
-            B = _pad(len(group))
+            chunks = [
+                full_group[s : s + _B_CHUNK]
+                for s in range(0, len(full_group), _B_CHUNK)
+            ]
+            self._wild_chunks(cls, nf, ns, pc, chunks, changes)
+        return changes
+
+    def _wild_chunks(self, cls, nf, ns, pc, chunks, changes):
+        d = self.d
+        for group in chunks:
+            B = _b_class(len(group))
             rows = np.full(B, pc.cap, dtype=np.int32)
             sep_idx = np.full((B, ns), self.xcap, dtype=np.int32)
             fro_idx = np.full((B, nf), self.xcap, dtype=np.int32)
@@ -1064,7 +1138,6 @@ class IncrementalEngine:
             chg = np.asarray(chg)
             for i, cid in enumerate(group):
                 changes[cid] = float(chg[i])
-        return changes
 
     def _wildfire(self, new_by_level: List[List[int]], threshold: float) -> int:
         """Frontier descent: new cliques top-down (forced), then into old

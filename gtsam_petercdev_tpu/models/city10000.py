@@ -157,19 +157,51 @@ if __name__ == "__main__":
     )
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--wildfire", type=float, default=0.001)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (env vars alone are overridden by the "
+        "axon sitecustomize; jax.config must be set in-process)",
+    )
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--progress", type=int, default=200)
+    ap.add_argument("--out", default=None, help="write JSON result + traj")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
 
     r = run_city10000(
         args.data,
         max_steps=args.steps,
         wildfire_threshold=args.wildfire,
-        progress_every=200,
+        dtype=jnp.float32 if args.f32 else jnp.float64,
+        progress_every=args.progress,
     )
     gt = load_city_gt(args.gt)
     st = np.asarray(r.step_times) * 1e3
+    summary = {
+        "poses": r.n_poses,
+        "loops": r.n_loop_closures,
+        "total_s": round(r.total_time, 1),
+        "step_ms_mean": round(float(st.mean()), 2),
+        "step_ms_p50": round(float(np.percentile(st, 50)), 2),
+        "step_ms_p90": round(float(np.percentile(st, 90)), 2),
+        "step_ms_p99": round(float(np.percentile(st, 99)), 2),
+        "step_ms_max": round(float(st.max()), 1),
+        "ate_rmse_m": round(r.ate_rmse(gt), 4),
+    }
     print(
         f"poses={r.n_poses} loops={r.n_loop_closures} total={r.total_time:.1f}s "
         f"step ms: mean={st.mean():.1f} p50={np.percentile(st,50):.1f} "
         f"p99={np.percentile(st,99):.1f} max={st.max():.1f} "
         f"ATE-RMSE={r.ate_rmse(gt):.4f} m"
     )
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(summary, f)
+            f.write("\n")
+        np.savetxt(args.out + ".traj.txt", r.estimate, fmt="%.6f")
