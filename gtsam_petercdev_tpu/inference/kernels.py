@@ -161,6 +161,33 @@ def forward_solve_bucket(L, Linv, rhs, nf: int, d: int):
     return lax.fori_loop(0, nf, body, y0)
 
 
+def tri_lower_inv(L, Linv, nf: int, d: int):
+    """Full inverse of the lower-triangular L [B, fd, fd] by blocked forward
+    substitution (Linv are the diagonal-block inverses). Used by the
+    Bayes-tree marginal sweep (Sigma_FF needs L^{-T} L^{-1})."""
+    B, fd, _ = L.shape
+    eye_d = jnp.eye(d, dtype=L.dtype)
+
+    def body(i, Z):
+        idd = i * d
+        Lrow = lax.dynamic_slice(L, (0, idd, 0), (B, d, fd))
+        # rhs_i = e_i - sum_{k<i} L[i,k] Z[k] (Z rows >= idd still zero)
+        Ei = -_einsum("bkf,bfg->bkg", Lrow, Z)
+        diag = lax.dynamic_slice(Ei, (0, 0, idd), (B, d, d)) + eye_d
+        Ei = lax.dynamic_update_slice(Ei, diag, (0, 0, idd))
+        Linv_i = lax.dynamic_slice(Linv, (0, i, 0, 0), (B, 1, d, d))[:, 0]
+        Zi = _einsum("bij,bjf->bif", Linv_i, Ei)
+        return lax.dynamic_update_slice(Z, Zi, (0, idd, 0))
+
+    Z0 = jnp.zeros_like(L)
+    if nf <= 2:
+        Z = Z0
+        for i in range(nf):
+            Z = body(i, Z)
+        return Z
+    return lax.fori_loop(0, nf, body, Z0)
+
+
 def backsolve_bucket(L, Linv, rhs, nf: int, d: int):
     """Solve L^T x = rhs for one bucket. L [B, fd, fd] lower (from
     partial_cholesky), Linv its diagonal-block inverses [B, nf, d, d],

@@ -444,6 +444,43 @@ class ISAM2:
         g = self._as_graph()
         return float(g.error(values))
 
+    def marginal_covariance(self, key: int) -> jnp.ndarray:
+        """Tangent-space marginal covariance at the current linearization
+        point — ISAM2::marginalCovariance via the Bayes-tree top-down sweep
+        (inference/treemarg.py; BayesTreeCliqueBase.h:172-203 semantics)."""
+        tm = self._tree_marginals()
+        gid = self._key_gid[int(key)]
+        d = manifold.get(self._gid_type[gid]).dim
+        return tm.covariance_gid(gid)[:d, :d]
+
+    def joint_marginal_covariance(self, keys: Sequence[int]) -> jnp.ndarray:
+        """Joint covariance over keys sharing one clique scope (common case:
+        adjacent states). Raises if the keys span cliques — use batch
+        Marginals for arbitrary joints."""
+        tm = self._tree_marginals()
+        gids = [self._key_gid[int(k)] for k in keys]
+        J = tm.joint_gids(gids)
+        if J is None:
+            raise ValueError(
+                "keys do not share a clique scope; use nonlinear.Marginals"
+            )
+        d = self._engine.d
+        dims = [manifold.get(self._gid_type[g]).dim for g in gids]
+        sel = np.concatenate(
+            [i * d + np.arange(dd) for i, dd in enumerate(dims)]
+        )
+        return J[jnp.asarray(sel)[:, None], jnp.asarray(sel)[None, :]]
+
+    def _tree_marginals(self):
+        from gtsam_petercdev_tpu.inference.treemarg import TreeMarginals
+
+        if (
+            getattr(self, "_tm_cache", None) is None
+            or self._tm_cache[0] != self._update_count
+        ):
+            self._tm_cache = (self._update_count, TreeMarginals(self._engine))
+        return self._tm_cache[1]
+
     def marginalize_leaves(self, keys: Sequence[int]) -> None:
         """ISAM2::marginalizeLeaves (ISAM2.cpp:487-724): eliminate the given
         variables out of the tree forever, replacing their factors with
