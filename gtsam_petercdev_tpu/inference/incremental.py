@@ -161,7 +161,9 @@ def _grow_pool_jit(nf, ns, d, old_cap, new_cap, dtype_str):
             ug=z(new_cap + 1, sd).at[:old_cap].set(old.ug[:old_cap]),
         )
 
-    return jax.jit(f, donate_argnums=0)
+    # no donation: outputs are larger than the donated inputs (XLA cannot
+    # reuse the buffers and warns on every growth event)
+    return jax.jit(f)
 
 
 def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:

@@ -142,11 +142,6 @@ def load_city_gt(path: str) -> np.ndarray:
 if __name__ == "__main__":
     import argparse
 
-    # persistent XLA compilation cache: loop-closure local-plan shapes are
-    # diverse; caching their compiles across runs removes the warmup cost
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--data",
@@ -165,7 +160,16 @@ if __name__ == "__main__":
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--progress", type=int, default=200)
     ap.add_argument("--out", default=None, help="write JSON result + traj")
+    ap.add_argument(
+        "--cache", action="store_true",
+        help="enable the persistent XLA compile cache (NOTE: the XLA:CPU AOT "
+        "loader can crash on machine-feature mismatches; off by default)",
+    )
     args = ap.parse_args()
+
+    if args.cache:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
