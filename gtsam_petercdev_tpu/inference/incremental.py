@@ -167,12 +167,13 @@ def _grow_pool_jit(nf, ns, d, old_cap, new_cap, dtype_str):
 
 
 def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:
-    # few distinct capacity values -> few jit signatures: every class
-    # starts at a generous floor and grows 4x
+    # pool-class capacity feeds the wildfire/scatter jit signatures, so every
+    # growth event recompiles all (B, nf, ns) kernels of the class: start at
+    # a generous floor and grow 16x so a 10k-step run sees at most one growth
     if p.nf + p.ns <= 8:
-        new_cap = max(256, p.cap * 4)
+        new_cap = max(4096, p.cap * 16)
     else:
-        new_cap = max(64, p.cap * 4)
+        new_cap = max(256, p.cap * 16)
     na = _grow_pool_jit(p.nf, p.ns, d, p.cap, new_cap, str(dtype))(p.arrays)
     return PoolClass(p.nf, p.ns, new_cap, na, p.free, p.top)
 
@@ -467,7 +468,10 @@ class IncrementalEngine:
         self.dtype = dtype
         self.n = 0  # variables (gids 0..n-1)
         self.var_dims = np.zeros(0, dtype=np.int64)
-        self.xcap = 1024
+        # xcap keys EVERY wildfire jit signature: a growth event recompiles
+        # the whole wildfire kernel family. 16k rows of [d] f64 is ~1 MB —
+        # start above the City10000 pose count so it never grows mid-run.
+        self.xcap = 16384
         self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
         self.pools: Dict[Tuple[int, int], PoolClass] = {}
         self.msg_pools: Dict[int, PoolClass] = {}  # persistent marginals
@@ -514,7 +518,7 @@ class IncrementalEngine:
         if g is not None:
             return g
         g = len(self.groups)
-        cap = 256
+        cap = 4096  # keys the gather/set jits; start big, grow rarely
         d = self.d
         self.groups.append(
             FactorGroup(
@@ -536,7 +540,7 @@ class IncrementalEngine:
     def _grow_group(self, fg: FactorGroup, need: int):
         cap = fg.cap
         while cap < need:
-            cap *= 4
+            cap *= 16
         d = self.d
         A = tuple(
             jnp.zeros((cap + 1, d, dk), dtype=self.dtype)

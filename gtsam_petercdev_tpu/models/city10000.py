@@ -120,9 +120,18 @@ def run_city10000(
         if progress_every and len(res.step_times) % progress_every == 0:
             k = len(res.step_times)
             avg = float(np.mean(res.step_times[-progress_every:])) * 1e3
+            rss_gb = 0.0
+            try:
+                with open("/proc/self/status") as f:
+                    for ln in f:
+                        if ln.startswith("VmRSS"):
+                            rss_gb = int(ln.split()[1]) / 1e6
+                            break
+            except OSError:
+                pass
             print(
                 f"step {k}: poses={res.n_poses} loops={res.n_loop_closures} "
-                f"avg {avg:.1f} ms/step",
+                f"avg {avg:.1f} ms/step rss={rss_gb:.1f}GB",
                 flush=True,
             )
     res.total_time = time.perf_counter() - t_start
