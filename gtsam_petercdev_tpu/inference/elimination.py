@@ -399,6 +399,20 @@ def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
     return pool, gp
 
 
+def _use_pallas() -> bool:
+    """Pallas kernels on a real TPU backend (override: GTSAM_TPU_PALLAS=0)."""
+    import os
+
+    if os.environ.get("GTSAM_TPU_PALLAS", "1") == "0":
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _multifrontal_solve_impl(
     maps: NumericMaps,
     Ab,
@@ -411,6 +425,7 @@ def _multifrontal_solve_impl(
     dd = d * d
     dtype = Ab[0][1].dtype
     pool, gp = assemble(maps, Ab, lam, diagonal_damping)
+    use_pallas = _use_pallas()
 
     # bottom-up: per bucket one batched partial Cholesky + extend-add
     outs = []
@@ -419,13 +434,21 @@ def _multifrontal_solve_impl(
         B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
         m = mb * d
         blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
+        gm_rows = gp[bm.g_start : bm.g_start + B * mb]
         Fm = (
             blocks.reshape(B, mb, mb, d, d)
             .transpose(0, 1, 3, 2, 4)
             .reshape(B, m, m)
         )
-        gm = gp[bm.g_start : bm.g_start + B * mb].reshape(B, m)
-        out = kernels.partial_cholesky(Fm, gm, nf, d)
+        gm = gm_rows.reshape(B, m)
+        if use_pallas:
+            # fused per-clique factorization (ops/cholesky.py): one Mosaic
+            # program instead of ~8 dependent HLO micro-ops per block column
+            from gtsam_petercdev_tpu.ops import cholesky as pallas_chol
+
+            out = pallas_chol.partial_cholesky(Fm, gm, nf, d)
+        else:
+            out = kernels.partial_cholesky(Fm, gm, nf, d)
         bad_total = bad_total + out["bad"]
         if ns > 0:
             Ublk = (

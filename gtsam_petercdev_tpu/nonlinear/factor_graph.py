@@ -47,6 +47,13 @@ class FactorType:
     # (gtsam/slam/BetweenFactor.h:111-124, GTSAM_SLOW_BUT_CORRECT_BETWEENFACTOR
     # OFF) and PriorFactor uses an identity Jacobian (PriorFactor.h:98-102).
     linearize_residual: Optional[Callable[[Tuple, Tuple, Any], jnp.ndarray]] = None
+    # Optional closed-form linearization (xs, params) -> (r0 [d], Js tuple of
+    # [d, dim_k]) — the hand-derived Jacobians the reference ships for its hot
+    # factors. When set (and consistent with linearize_residual's chart) it
+    # replaces the jacfwd evaluation: jacfwd seeds the residual once per
+    # tangent dim (12 passes for a Pose3 Between), which dominated linearize
+    # time on TPU; the closed form is a handful of 3x3 products.
+    analytic: Optional[Callable[[Tuple, Any], Tuple]] = None
 
     def retract_fn(self, slot: int):
         return manifold.get(self.var_types[slot]).retract
@@ -102,6 +109,23 @@ def residual_and_jac(ftype: FactorType, robust, xs, params, sqrt_info):
     dims = [manifold.get(t).dim for t in ftype.var_types]
     splits = np.cumsum(dims)[:-1].tolist()
     retracts = [ftype.retract_fn(k) for k in range(len(dims))]
+
+    if ftype.analytic is not None:
+
+        def one_analytic(xs_single, p, R):
+            r0, Js0 = ftype.analytic(xs_single, p)
+            r_w0 = R @ r0
+            Jw = tuple(R @ Jk for Jk in Js0)
+            return r_w0, Jw
+
+        r_w, Js_t = jax.vmap(one_analytic)(xs, params, sqrt_info)
+        Js = list(Js_t)
+        if robust is not None:
+            e = jnp.linalg.norm(r_w, axis=-1)
+            sw = jnp.sqrt(robust.weight(e))[:, None]
+            r_w = r_w * sw
+            Js = [Jk * sw[..., None] for Jk in Js]
+        return r_w, tuple(Js)
 
     def single(delta_flat, xs_single, p, R):
         deltas = jnp.split(delta_flat, splits)

@@ -23,8 +23,37 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax.numpy as jnp
+
 from gtsam_petercdev_tpu.core import manifold
 from gtsam_petercdev_tpu.nonlinear.factor_graph import FactorType
+
+
+def _pose3_prior_analytic(m):
+    def analytic(xs, params):
+        (x,) = xs
+        r0 = -m.local(x, params)
+        J = jnp.eye(m.dim, dtype=r0.dtype)
+        return r0, (J,)
+
+    return analytic
+
+
+def _pose3_between_analytic(m):
+    from gtsam_petercdev_tpu.geometry import pose3
+
+    def analytic(xs, params):
+        x1, x2 = xs
+        h0 = m.between(x1, x2)
+        r0 = m.local(params, h0)
+        # between(x1 Exp(d1), x2 Exp(d2)) = h0 Exp(-Ad(h0^-1) d1) Exp(d2)
+        # => J1 = -Ad(h0^-1), J2 = I in h0's chart (the reference's
+        # hand-derived H1/H2, gtsam/geometry/Pose3.cpp compose/between)
+        J1 = -pose3.adjoint_map(pose3.inverse(h0))
+        J2 = jnp.eye(m.dim, dtype=r0.dtype)
+        return r0, (J1, J2)
+
+    return analytic
 
 
 @lru_cache(maxsize=None)
@@ -49,6 +78,9 @@ def prior_factor(type_name: str, gtsam_compatible: bool = True) -> FactorType:
         resid_dim=m.dim,
         residual=residual,
         linearize_residual=linearize_residual if gtsam_compatible else None,
+        analytic=_pose3_prior_analytic(m)
+        if (gtsam_compatible and type_name == "Pose3")
+        else None,
     )
 
 
@@ -75,4 +107,7 @@ def between_factor(type_name: str, gtsam_compatible: bool = True) -> FactorType:
         resid_dim=m.dim,
         residual=residual,
         linearize_residual=linearize_residual if gtsam_compatible else None,
+        analytic=_pose3_between_analytic(m)
+        if (gtsam_compatible and type_name == "Pose3")
+        else None,
     )
