@@ -134,13 +134,24 @@ class HybridGaussianFactorGraph:
         grids = [range(self.disc_cards[k]) for k in dkeys]
         return dkeys, list(itertools.product(*grids))
 
-    def eliminate(self) -> "HybridBayesNet":
-        """Full hybrid elimination: vmapped dense Gaussian solve per
-        assignment + discrete posterior from the CLG evidence."""
+    def eliminate(self, assignments=None) -> "HybridBayesNet":
+        """Hybrid elimination: vmapped dense Gaussian solve per assignment +
+        discrete posterior from the CLG evidence.
+
+        assignments: optional [M, n_disc] RESTRICTED hypothesis set over the
+        sorted discrete keys (the pruned-hypothesis incremental path,
+        hybrid/incremental.py); None = the full grid."""
         off, D = self._cont_offsets()
-        dkeys, assignments = self._assignments()
-        M = len(assignments)
-        asg_arr = np.asarray(assignments, dtype=np.int64).reshape(M, len(dkeys))
+        if assignments is None:
+            dkeys, assignments = self._assignments()
+            M = len(assignments)
+            asg_arr = np.asarray(assignments, dtype=np.int64).reshape(
+                M, len(dkeys)
+            )
+        else:
+            dkeys = sorted(self.disc_cards.keys())
+            asg_arr = np.asarray(assignments, dtype=np.int64)
+            M = asg_arr.shape[0]
 
         def system_for(asg):
             """Dense (H, g, e_const) for one discrete assignment (traced)."""

@@ -92,3 +92,66 @@ def test_switching_chain_map():
     asg2, _ = pruned.optimize()
     assert asg2 == asg
     np.testing.assert_allclose(np.exp(pruned.log_probs).sum(), 1.0, atol=1e-9)
+
+
+def test_hybrid_smoother_matches_batch():
+    """Incremental HybridSmoother (pruned hypotheses) == batch full-grid
+    elimination on a switching chain when max_leaves covers the grid, and
+    stays correct on the dominant hypothesis with aggressive pruning
+    (HybridSmoother.h semantics)."""
+    from gtsam_petercdev_tpu.hybrid.incremental import HybridSmoother
+
+    def make_slice(t, xt):
+        g = HybridGaussianFactorGraph()
+        if t == 0:
+            g.add_continuous([(0, 1)], [jnp.asarray([[100.0]])], jnp.asarray([0.0]))
+        g.add_continuous([(t, 1)], [jnp.asarray([[10.0]])], jnp.asarray([10.0 * xt]))
+        if t > 0:
+            # mode selects step +1 or -1 between x_{t-1} and x_t
+            A = jnp.asarray([[[-1.0]], [[-1.0]]])
+            A2 = jnp.asarray([[[1.0]], [[1.0]]])
+            b = jnp.asarray([[1.0], [-1.0]])
+            g.add_hybrid([(t - 1, 1), (t, 1)], [(100 + t, 2)], [A, A2], b)
+            g.add_discrete([(100 + t, 2)], [0.5, 0.5])
+        return g
+
+    xs = [0.0, 1.0, 2.0, 1.0]  # true modes: +1, +1, -1
+
+    # batch reference
+    batch = HybridGaussianFactorGraph()
+    for t, xt in enumerate(xs):
+        s = make_slice(t, xt)
+        batch.gaussians.extend(s.gaussians)
+        batch.discrete.extend(s.discrete)
+        batch.cont_dims.update(s.cont_dims)
+        batch.disc_cards.update(s.disc_cards)
+    bn_batch = batch.eliminate()
+    asg_b, cont_b = bn_batch.optimize()
+
+    # incremental, no real pruning (max_leaves = 8 = full grid)
+    sm = HybridSmoother(max_leaves=8)
+    for t, xt in enumerate(xs):
+        sm.update(make_slice(t, xt))
+    asg_i, cont_i = sm.optimize()
+    assert asg_i == asg_b
+    for k in cont_b:
+        np.testing.assert_allclose(cont_i[k], cont_b[k], atol=1e-9)
+
+    # aggressive pruning still finds the dominant mode sequence
+    sm2 = HybridSmoother(max_leaves=2)
+    for t, xt in enumerate(xs):
+        sm2.update(make_slice(t, xt))
+    asg_p, _ = sm2.optimize()
+    assert asg_p == asg_b
+    assert sm2._hyp.shape[0] <= 2
+
+
+def test_hybrid_gaussian_isam_alias():
+    from gtsam_petercdev_tpu.hybrid.incremental import HybridGaussianISAM
+
+    isam = HybridGaussianISAM(max_leaves=4)
+    g = HybridGaussianFactorGraph()
+    g.add_continuous([(0, 1)], [jnp.asarray([[1.0]])], jnp.asarray([1.0]))
+    bn = isam.update(g)
+    _, cont = bn.optimize()
+    np.testing.assert_allclose(cont[0][0], 1.0, atol=1e-12)
