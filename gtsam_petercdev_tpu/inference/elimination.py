@@ -400,10 +400,15 @@ def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
 
 
 def _use_pallas() -> bool:
-    """Pallas kernels on a real TPU backend (override: GTSAM_TPU_PALLAS=0)."""
+    """Pallas elimination kernels (opt-in: GTSAM_TPU_PALLAS=1 on TPU).
+
+    Kernel-level parity with the XLA path is validated (ops/cholesky.py
+    tests); measured end-to-end the XLA path is currently on par, with the
+    step time dominated by the block-pool re-layout + extend-add scatters
+    rather than the factorization itself — see PROFILE_r03.md."""
     import os
 
-    if os.environ.get("GTSAM_TPU_PALLAS", "1") == "0":
+    if os.environ.get("GTSAM_TPU_PALLAS", "0") != "1":
         return False
     try:
         import jax
