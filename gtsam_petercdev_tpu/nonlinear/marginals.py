@@ -24,10 +24,29 @@ from gtsam_petercdev_tpu.nonlinear.values import Values
 
 
 class Marginals:
-    def __init__(self, graph: NonlinearFactorGraph, values: Values):
+    """method="dense": factorize the dense Hessian once (small/medium).
+    method="tree": build a Bayes tree via the incremental engine and run
+    the top-down covariance sweep (inference/treemarg.py) — the reference's
+    clique-shortcut scheme, right for large sparse graphs."""
+
+    def __init__(
+        self, graph: NonlinearFactorGraph, values: Values, method: str = "dense"
+    ):
         graph._materialize()
         values._materialize()
         self._values = values
+        self._tree = None
+        if method == "tree":
+            from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2, ISAM2Params
+
+            isam = ISAM2(
+                ISAM2Params(
+                    enable_relinearization=False, wildfire_threshold=0.0
+                )
+            )
+            isam.update(graph, values)
+            self._tree = isam
+            return
         lg = graph.linearize(values)
         self._lg = lg
         self._off, self._D = linsolve.offsets(lg)
@@ -54,6 +73,8 @@ class Marginals:
 
     def marginal_covariance(self, key: int) -> jnp.ndarray:
         """Sigma_kk in the tangent space at the linearization point."""
+        if self._tree is not None:
+            return self._tree.marginal_covariance(key)
         start, d = self._slice(key)
         idx = jnp.arange(start, start + d)
         X = self._inv_columns(idx)

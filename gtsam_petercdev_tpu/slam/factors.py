@@ -29,6 +29,20 @@ from gtsam_petercdev_tpu.core import manifold
 from gtsam_petercdev_tpu.nonlinear.factor_graph import FactorType
 
 
+def nonlinear_equality(type_name: str):
+    """NonlinearEquality<T> (gtsam/nonlinear/NonlinearEquality.h:44): pin a
+    variable EXACTLY to a value. Returns (factor_type, sqrt_info, mask) —
+    add with graph.add(ft, [key], value, sqrt_info, constrained_mask=mask)
+    and solve with the exact constrained path (solver="dense")."""
+    import numpy as np
+
+    from gtsam_petercdev_tpu.linear.noise import constrained_all
+
+    m = manifold.get(type_name)
+    sqrt_info, mask = constrained_all(m.dim)
+    return prior_factor(type_name), sqrt_info, mask
+
+
 def _pose3_prior_analytic(m):
     def analytic(xs, params):
         (x,) = xs

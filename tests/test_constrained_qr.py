@@ -142,3 +142,19 @@ def test_qr_solve_rank_deficient(rng):
     np.testing.assert_allclose(A @ x, b, atol=1e-9)  # consistent
     xn = np.linalg.lstsq(A, b, rcond=None)[0]
     np.testing.assert_allclose(x, xn, atol=1e-8)  # min-norm
+
+
+def test_nonlinear_equality_helper():
+    from gtsam_petercdev_tpu.slam.factors import nonlinear_equality
+
+    ft, sq, mask = nonlinear_equality("Pose2")
+    graph = NonlinearFactorGraph()
+    anchor = jnp.array([0.7, -0.3, 0.2])
+    graph.add(ft, [0], anchor, sq, constrained_mask=mask)
+    odo = noise.diagonal_sigmas(jnp.array([0.2, 0.2, 0.1]))
+    graph.add(between_factor("Pose2"), [0, 1], jnp.array([1.0, 0.0, 0.0]), odo)
+    v = Values()
+    v.insert(0, "Pose2", jnp.array([0.5, 0.0, 0.0]))
+    v.insert(1, "Pose2", jnp.array([1.5, 0.0, 0.0]))
+    res = gauss_newton(graph, v, OptimizerParams(solver="dense"))
+    np.testing.assert_allclose(np.asarray(res.values.at(0)), anchor, atol=1e-9)

@@ -109,3 +109,17 @@ def test_tree_marginals_after_incremental_updates():
             atol=1e-8,
             err_msg=str(k),
         )
+
+
+def test_marginals_tree_method():
+    """Marginals(method='tree') == dense on the same graph."""
+    graph, values = _loop_graph(seed=3)
+    dense = Marginals(graph, values)
+    graph2, values2 = _loop_graph(seed=3)
+    tree = Marginals(graph2, values2, method="tree")
+    for k in range(12):
+        np.testing.assert_allclose(
+            np.asarray(tree.marginal_covariance(k)),
+            np.asarray(dense.marginal_covariance(k)),
+            atol=1e-8,
+        )
