@@ -37,6 +37,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from gtsam_petercdev_tpu.core import manifold
 from gtsam_petercdev_tpu.inference.kernels import _einsum
@@ -59,6 +60,69 @@ class BatchStructure:
 
 
 @dataclass
+class GatherSumPlan:
+    """Host-planned scatter-free segment sum: pool[t] = sum of the source
+    rows whose destination is t, computed as (optional log-depth pairwise
+    pre-reduce rounds) + <=C direct gathers. This replaces XLA scatter-add,
+    which lowers to a SEQUENTIAL per-update loop on TPU (measured ~1 us per
+    d*d block on sphere2500 — 31 ms assemble + 25 ms extend-add of a 64 ms
+    GN step were pure scatter serialization; see PROFILE_r04.md)."""
+
+    rounds: List[Tuple[np.ndarray, np.ndarray]]  # (ia, ib) over current src
+    direct: np.ndarray  # [n_dest, C] rows into final src (last row = zero)
+    n_src: int  # rows of the original source array
+
+
+def build_gather_sum_plan(
+    dest: np.ndarray, n_dest: int, n_src: int, max_direct: int = 4
+) -> GatherSumPlan:
+    """Plan pool[t] = sum_{s: dest[s]==t} src[s] as gathers.
+
+    dest: [S] int destination ids (< n_dest) in source-row order. Rows with
+    the same destination are pairwise-combined (log2 rounds) until every
+    destination has <= max_direct contributing rows, then gathered directly.
+    """
+    dest = np.asarray(dest, dtype=np.int64)
+    groups: Dict[int, List[int]] = {}
+    for s, t in enumerate(dest):
+        groups.setdefault(int(t), []).append(s)
+    rounds: List[Tuple[np.ndarray, np.ndarray]] = []
+    cur_len = len(dest)
+    while groups and max(len(v) for v in groups.values()) > max_direct:
+        ia, ib = [], []
+        new_groups: Dict[int, List[int]] = {}
+        for t, rows in groups.items():
+            lst = new_groups.setdefault(t, [])
+            for i in range(0, len(rows), 2):
+                lst.append(len(ia))
+                ia.append(rows[i])
+                ib.append(rows[i + 1] if i + 1 < len(rows) else cur_len)
+        rounds.append(
+            (np.asarray(ia, dtype=np.int32), np.asarray(ib, dtype=np.int32))
+        )
+        groups = new_groups
+        cur_len = len(ia)
+    C = max(1, max((len(v) for v in groups.values()), default=1))
+    direct = np.full((n_dest, C), cur_len, dtype=np.int32)  # trash = zero row
+    for t, rows in groups.items():
+        direct[t, : len(rows)] = rows
+    return GatherSumPlan(rounds=rounds, direct=direct, n_src=n_src)
+
+
+def apply_gather_sum(plan: GatherSumPlan, src):
+    """Execute a GatherSumPlan on device. src [n_src, w] -> [n_dest, w]."""
+    z = jnp.zeros((1, src.shape[1]), src.dtype)
+    for ia, ib in plan.rounds:
+        s = jnp.concatenate([src, z], axis=0)
+        src = s[jnp.asarray(ia)] + s[jnp.asarray(ib)]
+    s = jnp.concatenate([src, z], axis=0)
+    out = s[jnp.asarray(plan.direct[:, 0])]
+    for c in range(1, plan.direct.shape[1]):
+        out = out + s[jnp.asarray(plan.direct[:, c])]
+    return out
+
+
+@dataclass
 class BucketMaps:
     level: int
     B: int
@@ -66,10 +130,17 @@ class BucketMaps:
     ns: int  # padded separator blocks
     blk_start: int  # first pool row of this bucket's blocks
     g_start: int  # first g-pool row
-    ext_idx: np.ndarray  # [B, ns, ns] pool rows for U extend-add (trash pads)
-    extg_idx: np.ndarray  # [B, ns]
     sep_idx: np.ndarray  # [B, ns] x-pool rows of separator vars (trash pads)
     fro_idx: np.ndarray  # [B, nf] x-pool rows of frontal vars (trash pads)
+    u_base: int = 0  # first row of this bucket's U blocks in the U pool
+    ug_base: int = 0  # first row of this bucket's ug rows in the ug pool
+    # pull-model extend-add: this bucket's frontal blocks GATHER the child
+    # Schur contributions (ClusterTree-inst.h:219 extend-add, inverted so no
+    # scatter runs on device). Each entry [B*mb*mb] (resp. [B*mb]) indexes
+    # the U (resp. ug) pool; multiple gathers when a slot has several
+    # contributing children. None when the bucket has no children.
+    ext_pull: Optional[List[np.ndarray]] = None
+    extg_pull: Optional[List[np.ndarray]] = None
 
     @property
     def mb(self):
@@ -86,12 +157,14 @@ class NumericMaps:
     n_grows: int
     batch_signs: List[float]
     slot_dims: List[Tuple[int, ...]]
-    fac_blk_idx: List[np.ndarray]  # per batch [N, K, K] int32 pool rows
-    fac_g_idx: List[np.ndarray]  # per batch [N, K] int32 g-pool rows
     slot_gids: List[Tuple[np.ndarray, ...]]  # per batch per slot [N] gids
-    eye_rows: np.ndarray  # [P] pool rows getting identity padding
-    eye_vals: np.ndarray  # [P, d*d]
+    asm_plan: GatherSumPlan  # factor blocks + eye + damp -> block pool
+    asm_g_plan: GatherSumPlan  # factor g rows -> g pool
+    hdiag_plan: GatherSumPlan  # per-slot |col|^2 rows -> [n] Hessian diag
+    eye_vals: np.ndarray  # [P, d*d] identity padding contribution values
     var_diag_rows: np.ndarray  # [n] pool row of var's diag block (gid order)
+    n_ublocks: int  # rows of the U extend-add pool
+    n_ugrows: int
     buckets: List[BucketMaps]  # flattened level-major, bottom-up
     uid: int = -1  # unique id for the jit cache
 
@@ -203,8 +276,13 @@ def build_numeric_maps(
             return p
         return c.bucket[0] + c._spos[pv]
 
-    # --- factor scatter maps ---
-    fac_blk_idx, fac_g_idx, slot_gids, signs, sdims = [], [], [], [], []
+    # --- factor contribution destinations (block pool / g pool slots) ---
+    # enumeration order MUST match assemble(): per batch, k-major then l for
+    # blocks; per batch then k for g rows; then eye rows; then damp rows.
+    blk_dest_parts: List[np.ndarray] = []
+    g_dest_parts: List[np.ndarray] = []
+    hdiag_dest_parts: List[np.ndarray] = []
+    slot_gids, signs, sdims = [], [], []
     for ent in structure:
         K = len(ent.gids)
         gids = [np.asarray(g, dtype=np.int64) for g in ent.gids]
@@ -224,13 +302,11 @@ def build_numeric_maps(
                 [cpos(cliques[own[i]], pvs[k][i]) for i in range(N)],
                 dtype=np.int64,
             )
-        blk = np.empty((N, K, K), dtype=np.int64)
         for k in range(K):
+            g_dest_parts.append(gb + pos[:, k])
+            hdiag_dest_parts.append(gids[k])
             for l in range(K):
-                blk[:, k, l] = base + pos[:, k] * mb + pos[:, l]
-        gidx = gb[:, None] + pos
-        fac_blk_idx.append(blk.astype(np.int32))
-        fac_g_idx.append(gidx.astype(np.int32))
+                blk_dest_parts.append(base + pos[:, k] * mb + pos[:, l])
         slot_gids.append(tuple(gids))
         signs.append(float(ent.sign))
         sdims.append(tuple(ent.dims))
@@ -268,32 +344,81 @@ def build_numeric_maps(
         for i, pv in enumerate(c.frontal):
             var_diag[plan.perm[pv]] = blk_base[c.cid] + i * mb + i
 
-    # --- bucket maps ---
+    # --- assembly gather plans (block pool, g pool, Hessian diagonal) ---
+    n_fac_blk = sum(p.shape[0] for p in blk_dest_parts)
+    n_fac_g = sum(p.shape[0] for p in g_dest_parts)
+    blk_dest = np.concatenate(
+        blk_dest_parts + [eye_rows.astype(np.int64), var_diag.astype(np.int64)]
+    )
+    asm_plan = build_gather_sum_plan(
+        blk_dest, n_blocks + 1, n_fac_blk + len(eye_rows) + plan.n
+    )
+    g_dest = (
+        np.concatenate(g_dest_parts)
+        if g_dest_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    asm_g_plan = build_gather_sum_plan(g_dest, n_grows + 1, n_fac_g)
+    hdiag_dest = (
+        np.concatenate(hdiag_dest_parts)
+        if hdiag_dest_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+    hdiag_plan = build_gather_sum_plan(hdiag_dest, plan.n, n_fac_g)
+
+    # --- bucket maps: U/ug pool bases + pull-model extend-add gathers ---
+    # child cid -> (its bucket's u/ug base, local index, padded ns)
+    u_off, ug_off = 0, 0
+    child_uinfo: Dict[int, Tuple[int, int, int]] = {}
+    for (lv_i, bk, boff_b, goff_b) in bucket_meta:
+        B, ns = len(bk.cliques), bk.ns
+        for i, cid in enumerate(bk.cliques):
+            child_uinfo[cid] = (u_off + i * ns * ns, ug_off + i * ns, ns)
+        u_off += B * ns * ns
+        ug_off += B * ns
+    n_ublocks, n_ugrows = u_off, ug_off
+
+    # children lists (only cliques that push a real separator contribution)
+    kids: List[List[int]] = [[] for _ in cliques]
+    for c in cliques:
+        if c.parent >= 0 and c.separator:
+            kids[c.parent].append(c.cid)
+
     buckets = []
     x_trash = plan.n
     for (lv_i, bk, boff_b, goff_b) in bucket_meta:
         B = len(bk.cliques)
         nf, ns = bk.nf, bk.ns
         mb = nf + ns
-        ext = np.full((B, ns, ns), trash_blk, dtype=np.int64)
-        extg = np.full((B, ns), trash_g, dtype=np.int64)
         sep = np.full((B, ns), x_trash, dtype=np.int64)
         fro = np.full((B, nf), x_trash, dtype=np.int64)
+        # pull extend-add: per parent slot, list of contributing child U rows
+        slot_contrib: Dict[int, List[int]] = {}
+        gslot_contrib: Dict[int, List[int]] = {}
         for i, cid in enumerate(bk.cliques):
             c = cliques[cid]
-            if c.parent >= 0 and c.separator:
-                p = cliques[c.parent]
-                pmb = mb_of[p.cid]
-                ppos = np.array([cpos(p, v) for v in c.separator], dtype=np.int64)
-                nr = len(c.separator)
-                ext[i, :nr, :nr] = (
-                    blk_base[p.cid] + ppos[:, None] * pmb + ppos[None, :]
-                )
-                extg[i, :nr] = g_base[p.cid] + ppos
             for si, v in enumerate(c.separator):
                 sep[i, si] = v
             for fi, v in enumerate(c.frontal):
                 fro[i, fi] = v
+            for ch_cid in kids[cid]:
+                ch = cliques[ch_cid]
+                ub, ugb, ch_ns = child_uinfo[ch_cid]
+                ppos = np.array(
+                    [cpos(c, v) for v in ch.separator], dtype=np.int64
+                )
+                nr = len(ch.separator)
+                for a in range(nr):
+                    ga = i * mb + int(ppos[a])
+                    gslot_contrib.setdefault(ga, []).append(ugb + a)
+                    for b_ in range(nr):
+                        slot = i * mb * mb + int(ppos[a]) * mb + int(ppos[b_])
+                        slot_contrib.setdefault(slot, []).append(
+                            ub + a * ch_ns + b_
+                        )
+        nkids = [len(kids[cid]) for cid in bk.cliques]
+        ext_pull = _pull_layers(slot_contrib, nkids, mb * mb, n_ublocks)
+        extg_pull = _pull_layers(gslot_contrib, nkids, mb, n_ugrows)
         buckets.append(
             BucketMaps(
                 level=lv_i,
@@ -302,10 +427,12 @@ def build_numeric_maps(
                 ns=ns,
                 blk_start=boff_b,
                 g_start=goff_b,
-                ext_idx=ext.astype(np.int32),
-                extg_idx=extg.astype(np.int32),
                 sep_idx=sep.astype(np.int32),
                 fro_idx=fro.astype(np.int32),
+                u_base=child_uinfo[bk.cliques[0]][0],
+                ug_base=child_uinfo[bk.cliques[0]][1],
+                ext_pull=ext_pull,
+                extg_pull=extg_pull,
             )
         )
 
@@ -316,15 +443,45 @@ def build_numeric_maps(
         n_grows=n_grows,
         batch_signs=signs,
         slot_dims=sdims,
-        fac_blk_idx=fac_blk_idx,
-        fac_g_idx=fac_g_idx,
         slot_gids=slot_gids,
-        eye_rows=eye_rows,
+        asm_plan=asm_plan,
+        asm_g_plan=asm_g_plan,
+        hdiag_plan=hdiag_plan,
         eye_vals=eye_vals,
         var_diag_rows=var_diag,
+        n_ublocks=n_ublocks,
+        n_ugrows=n_ugrows,
         buckets=buckets,
         uid=_MAPS_UID[0],
     )
+
+
+def _pull_layers(
+    contrib: Dict[int, List[int]],
+    nkids: List[int],
+    slots_per_clique: int,
+    trash: int,
+) -> Optional[List[np.ndarray]]:
+    """Turn slot -> [source rows] into multiplicity-layer gather arrays.
+
+    A slot's contribution count is bounded by its clique's child count, and
+    the symbolic planner sorts each bucket's cliques by DESCENDING child
+    count, so layer c only needs to cover the prefix of cliques with more
+    than c children — each returned array is [B_prefix * slots_per_clique]
+    (trash row for absent contributions), cutting gather volume ~2x vs
+    full-bucket layers on sphere2500."""
+    if not contrib:
+        return None
+    C = max(len(v) for v in contrib.values())
+    out = []
+    for c in range(C):
+        B_pref = sum(1 for k in nkids if k > c)
+        out.append(np.full(B_pref * slots_per_clique, trash, dtype=np.int32))
+    for slot, rows in contrib.items():
+        for c, r in enumerate(rows):
+            assert slot < out[c].shape[0], "bucket not sorted by child count"
+            out[c][slot] = r
+    return out
 
 
 def _pad_last(x, target):
@@ -335,7 +492,8 @@ def _pad_last(x, target):
 
 
 def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
-    """Scatter factor Hessian blocks + damping into the block pool.
+    """Gather factor Hessian blocks + identity padding + damping into the
+    block pool — entirely scatter-free (see GatherSumPlan).
 
     Returns (pool [n_blocks+1, d*d], gp [n_grows+1, d])."""
     plan = maps.plan
@@ -343,18 +501,22 @@ def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
     dd = d * d
     dtype = Ab[0][1].dtype
     lam = jnp.asarray(lam, dtype=dtype)
+    n = plan.n
 
-    upds, idxs, gupds, gidxs = [], [], [], []
+    # contribution rows in the exact order the host plans enumerate
+    blk_rows, g_rows, hdiag_rows = [], [], []
     for bi, (A, b) in enumerate(Ab):
         K = len(A)
         sign = maps.batch_signs[bi]
         N = b.shape[0]
         for k in range(K):
             gk = _einsum("nri,nr->ni", A[k], b)
+            hk = _einsum("nri,nri->ni", A[k], A[k])
             if sign != 1.0:
                 gk = gk * sign
-            gupds.append(_pad_last(gk, d))
-            gidxs.append(maps.fac_g_idx[bi][:, k])
+                hk = hk * sign
+            g_rows.append(_pad_last(gk, d))
+            hdiag_rows.append(_pad_last(hk, d))
             for l in range(K):
                 blk = _einsum("nri,nrj->nij", A[k], A[l])
                 if sign != 1.0:
@@ -362,41 +524,44 @@ def assemble(maps: NumericMaps, Ab, lam, diagonal_damping: bool):
                 blk = _pad_last(
                     jnp.pad(blk, ((0, 0), (0, d - blk.shape[1]), (0, 0))), d
                 )
-                upds.append(blk.reshape(N, dd))
-                idxs.append(maps.fac_blk_idx[bi][:, k, l])
+                blk_rows.append(blk.reshape(N, dd))
 
-    pool = jnp.zeros((maps.n_blocks + 1, dd), dtype=dtype)
-    gp = jnp.zeros((maps.n_grows + 1, d), dtype=dtype)
-    pool = pool.at[jnp.concatenate(idxs)].add(jnp.concatenate(upds))
-    gp = gp.at[jnp.concatenate(gidxs)].add(jnp.concatenate(gupds))
-    if maps.eye_rows.size:
-        pool = pool.at[jnp.asarray(maps.eye_rows)].add(
-            jnp.asarray(maps.eye_vals, dtype=dtype)
-        )
-
-    # damping on every real variable's diagonal block
-    diag_rows = jnp.asarray(maps.var_diag_rows)
+    # damping contribution per variable (targets its diag slot)
     eye = jnp.eye(d, dtype=dtype).reshape(1, dd)
     if diagonal_damping:
-        # diag(H) per var from the Jacobians (H's diagonal is distributed
-        # across descendant cliques, so compute it directly)
-        n = plan.n
-        hdiag = jnp.zeros((n, d), dtype=dtype)
-        for bi, (A, b) in enumerate(Ab):
-            for k in range(len(A)):
-                hk = _einsum("nri,nri->ni", A[k], A[k])
-                if maps.batch_signs[bi] != 1.0:
-                    hk = hk * maps.batch_signs[bi]
-                hdiag = hdiag.at[jnp.asarray(maps.slot_gids[bi][k])].add(
-                    _pad_last(hk, d)
-                )
-        dvals = (
+        hdiag = apply_gather_sum(
+            maps.hdiag_plan, jnp.concatenate(hdiag_rows, axis=0)
+        )
+        damp = (
             lam * hdiag[:, :, None] * jnp.eye(d, dtype=dtype)[None]
         ).reshape(n, dd)
-        pool = pool.at[diag_rows].add(dvals)
     else:
-        pool = pool.at[diag_rows].add(lam * eye)
+        damp = jnp.broadcast_to(lam * eye, (n, dd))
+
+    contrib = jnp.concatenate(
+        blk_rows + [jnp.asarray(maps.eye_vals, dtype=dtype), damp], axis=0
+    )
+    pool = apply_gather_sum(maps.asm_plan, contrib)
+    gp = apply_gather_sum(maps.asm_g_plan, jnp.concatenate(g_rows, axis=0))
     return pool, gp
+
+
+def _pull_ext(pool_slice, U_pool, ext_pull):
+    """Add pulled child contributions to a bucket's flat block slice.
+
+    Each multiplicity layer covers only a PREFIX of the slab (cliques
+    sorted by child count), so higher layers stay cheap."""
+    if ext_pull is None:
+        return pool_slice
+    out = pool_slice
+    for idx in ext_pull:
+        npre = idx.shape[0]
+        add = U_pool[jnp.asarray(idx)]
+        if npre == out.shape[0]:
+            out = out + add
+        else:
+            out = jnp.concatenate([out[:npre] + add, out[npre:]], axis=0)
+    return out
 
 
 def _use_pallas() -> bool:
@@ -429,58 +594,72 @@ def _multifrontal_solve_impl(
     d = plan.d
     dd = d * d
     dtype = Ab[0][1].dtype
-    pool, gp = assemble(maps, Ab, lam, diagonal_damping)
+    with jax.named_scope("assemble"):
+        pool, gp = assemble(maps, Ab, lam, diagonal_damping)
     use_pallas = _use_pallas()
 
-    # bottom-up: per bucket one batched partial Cholesky + extend-add
+    # bottom-up: per bucket one batched partial Cholesky; each bucket PULLS
+    # its children's Schur contributions from the U pool (no scatter)
+    U_pool = jnp.zeros((maps.n_ublocks + 1, dd), dtype=dtype)
+    ug_pool = jnp.zeros((maps.n_ugrows + 1, d), dtype=dtype)
     outs = []
     bad_total = jnp.zeros((), jnp.int32)
-    for bm in maps.buckets:
+    for bi_, bm in enumerate(maps.buckets):
         B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
         m = mb * d
-        blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
-        gm_rows = gp[bm.g_start : bm.g_start + B * mb]
-        Fm = (
-            blocks.reshape(B, mb, mb, d, d)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(B, m, m)
-        )
-        gm = gm_rows.reshape(B, m)
-        if use_pallas:
-            # fused per-clique factorization (ops/cholesky.py): one Mosaic
-            # program instead of ~8 dependent HLO micro-ops per block column
-            from gtsam_petercdev_tpu.ops import cholesky as pallas_chol
+        with jax.named_scope(f"pull{bi_}_B{B}nf{nf}ns{ns}"):
+            blocks = _pull_ext(
+                pool[bm.blk_start : bm.blk_start + B * mb * mb], U_pool, bm.ext_pull
+            )
+            gm_rows = _pull_ext(
+                gp[bm.g_start : bm.g_start + B * mb], ug_pool, bm.extg_pull
+            )
+            Fm = (
+                blocks.reshape(B, mb, mb, d, d)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(B, m, m)
+            )
+            gm = gm_rows.reshape(B, m)
+        with jax.named_scope(f"chol{bi_}_B{B}nf{nf}ns{ns}"):
+            if use_pallas:
+                # fused per-clique factorization (ops/cholesky.py): one Mosaic
+                # program instead of ~8 dependent HLO micro-ops per block column
+                from gtsam_petercdev_tpu.ops import cholesky as pallas_chol
 
-            out = pallas_chol.partial_cholesky(Fm, gm, nf, d)
-        else:
-            out = kernels.partial_cholesky(Fm, gm, nf, d)
+                out = pallas_chol.partial_cholesky(Fm, gm, nf, d)
+            else:
+                out = kernels.partial_cholesky(Fm, gm, nf, d)
         bad_total = bad_total + out["bad"]
         if ns > 0:
-            Ublk = (
-                out["U"]
-                .reshape(B, ns, d, ns, d)
-                .transpose(0, 1, 3, 2, 4)
-                .reshape(B * ns * ns, dd)
-            )
-            pool = pool.at[jnp.asarray(bm.ext_idx.reshape(-1))].add(Ublk)
-            gp = gp.at[jnp.asarray(bm.extg_idx.reshape(-1))].add(
-                out["ug"].reshape(B * ns, d)
-            )
+            with jax.named_scope(f"uout{bi_}"):
+                Ublk = (
+                    out["U"]
+                    .reshape(B, ns, d, ns, d)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(B * ns * ns, dd)
+                )
+                U_pool = lax.dynamic_update_slice(
+                    U_pool, Ublk, (bm.u_base, 0)
+                )
+                ug_pool = lax.dynamic_update_slice(
+                    ug_pool, out["ug"].reshape(B * ns, d), (bm.ug_base, 0)
+                )
         outs.append(out)
 
     # top-down back-substitution
-    x = jnp.zeros((plan.n + 1, d), dtype=dtype)
-    for bm, out in zip(reversed(maps.buckets), reversed(outs)):
-        B, nf, ns = bm.B, bm.nf, bm.ns
-        if ns > 0:
-            xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
-            rhs = out["y"] - _einsum("bfs,bs->bf", out["W"], xs)
-        else:
-            rhs = out["y"]
-        xf = kernels.backsolve_bucket(out["L"], out["Linv"], rhs, nf, d)
-        x = x.at[jnp.asarray(bm.fro_idx.reshape(-1))].set(
-            xf.reshape(B * nf, d)
-        )
+    with jax.named_scope("backsub"):
+        x = jnp.zeros((plan.n + 1, d), dtype=dtype)
+        for bm, out in zip(reversed(maps.buckets), reversed(outs)):
+            B, nf, ns = bm.B, bm.nf, bm.ns
+            if ns > 0:
+                xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
+                rhs = out["y"] - _einsum("bfs,bs->bf", out["W"], xs)
+            else:
+                rhs = out["y"]
+            xf = kernels.backsolve_bucket(out["L"], out["Linv"], rhs, nf, d)
+            x = x.at[jnp.asarray(bm.fro_idx.reshape(-1))].set(
+                xf.reshape(B * nf, d)
+            )
 
     # permuted rows -> global variable id order
     xp = x[:-1]
@@ -514,10 +693,13 @@ def _factor_impl(maps: NumericMaps, Ab, lam=0.0):
     outs = []
     d = maps.plan.d
     dd = d * d
+    U_pool = jnp.zeros((maps.n_ublocks + 1, dd), dtype=pool.dtype)
     for bm in maps.buckets:
         B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
         m = mb * d
-        blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
+        blocks = _pull_ext(
+            pool[bm.blk_start : bm.blk_start + B * mb * mb], U_pool, bm.ext_pull
+        )
         Fm = (
             blocks.reshape(B, mb, mb, d, d)
             .transpose(0, 1, 3, 2, 4)
@@ -532,7 +714,7 @@ def _factor_impl(maps: NumericMaps, Ab, lam=0.0):
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(B * ns * ns, dd)
             )
-            pool = pool.at[jnp.asarray(bm.ext_idx.reshape(-1))].add(Ublk)
+            U_pool = lax.dynamic_update_slice(U_pool, Ublk, (bm.u_base, 0))
         outs.append((out["L"], out["Linv"], out["W"]))
     return outs
 
@@ -544,16 +726,19 @@ def _apply_impl(maps: NumericMaps, var_g_rows, chol, r):
     dtype = r.dtype
     gp = jnp.zeros((maps.n_grows + 1, d), dtype=dtype)
     gp = gp.at[jnp.asarray(var_g_rows)].set(_pad_last(r, d))
+    ug_pool = jnp.zeros((maps.n_ugrows + 1, d), dtype=dtype)
 
     ys = []
     for bm, (L, Linv, W) in zip(maps.buckets, chol):
         B, nf, ns = bm.B, bm.nf, bm.ns
-        gm = gp[bm.g_start : bm.g_start + B * bm.mb].reshape(B, bm.mb * d)
+        gm = _pull_ext(
+            gp[bm.g_start : bm.g_start + B * bm.mb], ug_pool, bm.extg_pull
+        ).reshape(B, bm.mb * d)
         y = kernels.forward_solve_bucket(L, Linv, gm[:, : nf * d], nf, d)
         if ns > 0:
             ug = gm[:, nf * d :] - _einsum("bkf,bk->bf", W, y)
-            gp = gp.at[jnp.asarray(bm.extg_idx.reshape(-1))].add(
-                ug.reshape(B * ns, d)
+            ug_pool = lax.dynamic_update_slice(
+                ug_pool, ug.reshape(B * ns, d), (bm.ug_base, 0)
             )
         ys.append(y)
 

@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # f32 matmuls on TPU default to bf16 passes; Cholesky needs full f32
@@ -33,33 +34,45 @@ def _chol_block(D, eps):
 
     Returns (L lower [B, d, d], Linv [B, d, d], bad pivot count [B]).
     Pivots <= eps are clamped (choleskyCareful semantics) and counted.
+
+    Op-count matters more than flops here (the elimination sweep is
+    HLO-overhead-bound on TPU): the column loop uses constant select masks,
+    and the triangular inverse is a Newton iteration X <- X(2I - M X) that
+    is EXACT after ceil(log2(d)) steps for unit-lower-triangular M (the
+    error contracts as E -> E^2 and E0 = N^2 is nilpotent of index <= d).
     """
     B, d, _ = D.shape
     dtype = D.dtype
+    idx = np.arange(d)
+    eye = jnp.eye(d, dtype=dtype)
     cols = []
+    pivs = []
     bad = jnp.zeros((B,), dtype=jnp.int32)
-    idx = jnp.arange(d)
     W = D
     for j in range(d):
-        pivot = W[:, j, j]
+        colW = W[:, :, j]  # [B, d]
+        pivot = colW[:, j]
         bad = bad + (pivot <= eps).astype(jnp.int32)
         piv = jnp.sqrt(jnp.maximum(pivot, eps))
-        col = W[:, :, j] / piv[:, None]  # [B, d]
-        col = jnp.where(idx[None, :] > j, col, 0.0)
-        col = col.at[:, j].set(piv)
+        gtj = jnp.asarray(idx > j)
+        ej = jnp.asarray((idx == j).astype(np.float32), dtype=dtype)
+        col = jnp.where(gtj, colW / piv[:, None], ej * piv[:, None])
         cols.append(col)
+        pivs.append(piv)
         W = W - col[:, :, None] * col[:, None, :]
     L = jnp.stack(cols, axis=2)  # [B, d, d] lower triangular
+    piv = jnp.stack(pivs, axis=1)  # [B, d] diagonal of L
 
-    # forward-substitution inverse of L (unrolled): L @ Linv = I
-    rows = []
-    for i in range(d):
-        e = jnp.zeros((B, d), dtype=dtype).at[:, i].set(1.0)
-        acc = e
-        for k in range(i):
-            acc = acc - L[:, i, k][:, None] * rows[k]
-        rows.append(acc / L[:, i, i][:, None])
-    Linv = jnp.stack(rows, axis=1)
+    # Linv via Newton on the unit-lower factor: L = Lc diag(piv) with
+    # Lc = L / piv (columns), so L^-1 = diag(1/piv) Lc^-1... careful:
+    # L = Lc * piv[col] => L^-1 = diag-col-inv: X such that X L = I.
+    inv_piv = 1.0 / piv
+    Lc = L * inv_piv[:, None, :]  # unit lower triangular
+    X = 2.0 * eye - Lc
+    n_steps = max(0, int(np.ceil(np.log2(d))) - 1)
+    for _ in range(n_steps):
+        X = _einsum("bij,bjk->bik", X, 2.0 * eye - _einsum("bij,bjk->bik", Lc, X))
+    Linv = X * inv_piv[:, :, None]  # rows scaled: (Lc D)^-1 = D^-1 Lc^-1
     return L, Linv, bad
 
 

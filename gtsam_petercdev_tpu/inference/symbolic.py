@@ -393,6 +393,12 @@ def symbolic_eliminate(
         for key, cids in items:
             for cid in cids:
                 cliques[cid].bucket = key
+            # descending child count: the numeric layer's pull-model
+            # extend-add gathers then cover only a PREFIX of the bucket's
+            # slab per multiplicity layer (a slot's contribution count is
+            # bounded by its clique's child count), cutting gather rows
+            # ~2x on sphere2500 (see elimination.BucketMaps.ext_pull)
+            cids.sort(key=lambda c: -len(children[c]))
         levels.append([Bucket(nf=k[0], ns=k[1], cliques=v) for k, v in items])
 
     # --- flat offsets ---
