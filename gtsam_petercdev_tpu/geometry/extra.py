@@ -133,28 +133,36 @@ def son_dim(n: int) -> int:
     return n * (n - 1) // 2
 
 
+def _son_sign_index(n: int):
+    """(row, col, sign, vec-slot) quadruples of gtsam SOn::Hat's recursion
+    (SOn.cpp:25-49): level m fills row/col m-1 from xi[D - m(m-1)/2 ...],
+    starting with sign (-1)^(m(m-1)/2) and alternating along the row."""
+    D = n * (n - 1) // 2
+    out = []
+    for m in range(n, 1, -1):
+        off = D - m * (m - 1) // 2
+        sign = (-1.0) ** (m * (m - 1) // 2)
+        for i in range(m - 1):
+            j = m - 2 - i
+            out.append((m - 1, j, sign, off + i))
+            sign = -sign
+    return out
+
+
 def son_hat(xi, n: int):
-    """vec -> skew; ordering matches gtsam SOn::Hat (SOn.h:110):
-    recursive — the last n-1 entries fill the last row/col."""
+    """vec -> skew; matches gtsam SOn::Hat exactly (SOn.cpp:25, verified
+    against the hard-coded matrices of testSOn.cpp HatVee for n=2..5)."""
     X = jnp.zeros((n, n), dtype=xi.dtype)
-    k = 0
-    # gtsam fills from the BOTTOM-right recursion; equivalent ordering:
-    # entries for pairs (i, j), i<j, ordered by j descending then i.
-    for j in range(n - 1, 0, -1):
-        for i in range(j - 1, -1, -1):
-            sign = (-1.0) ** (i + j + 1)
-            X = X.at[i, j].set(-sign * xi[k])
-            X = X.at[j, i].set(sign * xi[k])
-            k += 1
+    for (r, c, sign, k) in _son_sign_index(n):
+        X = X.at[r, c].set(-sign * xi[k])
+        X = X.at[c, r].set(sign * xi[k])
     return X
 
 
 def son_vee(X, n: int):
-    out = []
-    for j in range(n - 1, 0, -1):
-        for i in range(j - 1, -1, -1):
-            sign = (-1.0) ** (i + j + 1)
-            out.append(sign * X[j, i])
+    out = [None] * (n * (n - 1) // 2)
+    for (r, c, sign, k) in _son_sign_index(n):
+        out[k] = -sign * X[r, c]
     return jnp.stack(out)
 
 

@@ -141,6 +141,13 @@ class BucketMaps:
     # contributing children. None when the bucket has no children.
     ext_pull: Optional[List[np.ndarray]] = None
     extg_pull: Optional[List[np.ndarray]] = None
+    # matmul extend-add (the fast path used by the solve): child U matrices
+    # are projected into parent frame via one-hot block-selection matmuls
+    # (S^T U S on the MXU, where narrow-row gathers cost ~30ns/row) and
+    # segment-summed per parent at whole-matrix row granularity.
+    # groups: (child_bucket_flat_idx, sel [n_sel], ppos [n_sel, ns_child])
+    ext_mm: Optional[List[Tuple[int, np.ndarray, np.ndarray]]] = None
+    ext_seg: Optional[GatherSumPlan] = None  # parent segment sum over n_all
 
     @property
     def mb(self):
@@ -367,13 +374,13 @@ def build_numeric_maps(
     hdiag_plan = build_gather_sum_plan(hdiag_dest, plan.n, n_fac_g)
 
     # --- bucket maps: U/ug pool bases + pull-model extend-add gathers ---
-    # child cid -> (its bucket's u/ug base, local index, padded ns)
+    # child cid -> (u base row, ug base row, padded ns, flat bucket, local i)
     u_off, ug_off = 0, 0
-    child_uinfo: Dict[int, Tuple[int, int, int]] = {}
-    for (lv_i, bk, boff_b, goff_b) in bucket_meta:
+    child_uinfo: Dict[int, Tuple[int, int, int, int, int]] = {}
+    for bf_i, (lv_i, bk, boff_b, goff_b) in enumerate(bucket_meta):
         B, ns = len(bk.cliques), bk.ns
         for i, cid in enumerate(bk.cliques):
-            child_uinfo[cid] = (u_off + i * ns * ns, ug_off + i * ns, ns)
+            child_uinfo[cid] = (u_off + i * ns * ns, ug_off + i * ns, ns, bf_i, i)
         u_off += B * ns * ns
         ug_off += B * ns
     n_ublocks, n_ugrows = u_off, ug_off
@@ -395,6 +402,7 @@ def build_numeric_maps(
         # pull extend-add: per parent slot, list of contributing child U rows
         slot_contrib: Dict[int, List[int]] = {}
         gslot_contrib: Dict[int, List[int]] = {}
+        mm_groups: Dict[int, List[Tuple[int, int, np.ndarray]]] = {}
         for i, cid in enumerate(bk.cliques):
             c = cliques[cid]
             for si, v in enumerate(c.separator):
@@ -403,11 +411,14 @@ def build_numeric_maps(
                 fro[i, fi] = v
             for ch_cid in kids[cid]:
                 ch = cliques[ch_cid]
-                ub, ugb, ch_ns = child_uinfo[ch_cid]
+                ub, ugb, ch_ns, ch_bf, ch_loc = child_uinfo[ch_cid]
                 ppos = np.array(
                     [cpos(c, v) for v in ch.separator], dtype=np.int64
                 )
                 nr = len(ch.separator)
+                pp = np.full(ch_ns, -1, dtype=np.int32)
+                pp[:nr] = ppos
+                mm_groups.setdefault(ch_bf, []).append((i, ch_loc, pp))
                 for a in range(nr):
                     ga = i * mb + int(ppos[a])
                     gslot_contrib.setdefault(ga, []).append(ugb + a)
@@ -419,6 +430,23 @@ def build_numeric_maps(
         nkids = [len(kids[cid]) for cid in bk.cliques]
         ext_pull = _pull_layers(slot_contrib, nkids, mb * mb, n_ublocks)
         extg_pull = _pull_layers(gslot_contrib, nkids, mb, n_ugrows)
+        # matmul extend-add groups (parent-segment order = concat of groups
+        # in ascending child-bucket order)
+        ext_mm, parent_ids = [], []
+        for ch_bf in sorted(mm_groups):
+            ents = mm_groups[ch_bf]
+            sel = np.asarray([e[1] for e in ents], dtype=np.int32)
+            pp = np.stack([e[2] for e in ents], axis=0)
+            ext_mm.append((ch_bf, sel, pp))
+            parent_ids.extend(e[0] for e in ents)
+        ext_seg = (
+            build_gather_sum_plan(
+                np.asarray(parent_ids, dtype=np.int64), B, len(parent_ids),
+                max_direct=2,
+            )
+            if parent_ids
+            else None
+        )
         buckets.append(
             BucketMaps(
                 level=lv_i,
@@ -433,6 +461,8 @@ def build_numeric_maps(
                 ug_base=child_uinfo[bk.cliques[0]][1],
                 ext_pull=ext_pull,
                 extg_pull=extg_pull,
+                ext_mm=ext_mm or None,
+                ext_seg=ext_seg,
             )
         )
 
@@ -598,28 +628,51 @@ def _multifrontal_solve_impl(
         pool, gp = assemble(maps, Ab, lam, diagonal_damping)
     use_pallas = _use_pallas()
 
-    # bottom-up: per bucket one batched partial Cholesky; each bucket PULLS
-    # its children's Schur contributions from the U pool (no scatter)
-    U_pool = jnp.zeros((maps.n_ublocks + 1, dd), dtype=dtype)
-    ug_pool = jnp.zeros((maps.n_ugrows + 1, d), dtype=dtype)
+    # bottom-up: per bucket one batched partial Cholesky; each bucket pulls
+    # its children's Schur contributions by projecting the child U matrices
+    # into the parent frame with one-hot block-selection matmuls (MXU) and
+    # a per-parent segment sum at whole-matrix row granularity — no scatter
+    # and no narrow-row gathers (ClusterTree-inst.h:219 extend-add analog)
     outs = []
     bad_total = jnp.zeros((), jnp.int32)
+    eye_d = jnp.eye(d, dtype=dtype)
     for bi_, bm in enumerate(maps.buckets):
         B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
         m = mb * d
         with jax.named_scope(f"pull{bi_}_B{B}nf{nf}ns{ns}"):
-            blocks = _pull_ext(
-                pool[bm.blk_start : bm.blk_start + B * mb * mb], U_pool, bm.ext_pull
-            )
-            gm_rows = _pull_ext(
-                gp[bm.g_start : bm.g_start + B * mb], ug_pool, bm.extg_pull
-            )
+            blocks = pool[bm.blk_start : bm.blk_start + B * mb * mb]
             Fm = (
                 blocks.reshape(B, mb, mb, d, d)
                 .transpose(0, 1, 3, 2, 4)
                 .reshape(B, m, m)
             )
-            gm = gm_rows.reshape(B, m)
+            gm = gp[bm.g_start : bm.g_start + B * mb].reshape(B, m)
+            if bm.ext_mm:
+                incs, incgs = [], []
+                for (ch_bf, sel, pp) in bm.ext_mm:
+                    Us = outs[ch_bf]["U"][jnp.asarray(sel)]
+                    ugs = outs[ch_bf]["ug"][jnp.asarray(sel)]
+                    nsel, ns_c = pp.shape
+                    # scalar selection matrix S6 = onehot(block) kron I_d
+                    ohb = (
+                        jnp.asarray(pp)[:, :, None]
+                        == jnp.arange(mb, dtype=jnp.int32)[None, None, :]
+                    ).astype(dtype)
+                    S6 = (
+                        ohb[:, :, None, :, None]
+                        * eye_d[None, None, :, None, :]
+                    ).reshape(nsel, ns_c * d, m)
+                    T = _einsum("cxy,cxr->cry", Us, S6)
+                    incs.append(
+                        _einsum("cry,cys->crs", T, S6).reshape(nsel, m * m)
+                    )
+                    incgs.append(_einsum("cx,cxr->cr", ugs, S6))
+                Fm = Fm + apply_gather_sum(
+                    bm.ext_seg, jnp.concatenate(incs, axis=0)
+                ).reshape(B, m, m)
+                gm = gm + apply_gather_sum(
+                    bm.ext_seg, jnp.concatenate(incgs, axis=0)
+                )
         with jax.named_scope(f"chol{bi_}_B{B}nf{nf}ns{ns}"):
             if use_pallas:
                 # fused per-clique factorization (ops/cholesky.py): one Mosaic
@@ -630,20 +683,6 @@ def _multifrontal_solve_impl(
             else:
                 out = kernels.partial_cholesky(Fm, gm, nf, d)
         bad_total = bad_total + out["bad"]
-        if ns > 0:
-            with jax.named_scope(f"uout{bi_}"):
-                Ublk = (
-                    out["U"]
-                    .reshape(B, ns, d, ns, d)
-                    .transpose(0, 1, 3, 2, 4)
-                    .reshape(B * ns * ns, dd)
-                )
-                U_pool = lax.dynamic_update_slice(
-                    U_pool, Ublk, (bm.u_base, 0)
-                )
-                ug_pool = lax.dynamic_update_slice(
-                    ug_pool, out["ug"].reshape(B * ns, d), (bm.ug_base, 0)
-                )
         outs.append(out)
 
     # top-down back-substitution

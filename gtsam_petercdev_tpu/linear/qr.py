@@ -117,10 +117,18 @@ def solve_lse(
     D = H.shape[0]
     nc = C.shape[0]
     Qf, Rf = jnp.linalg.qr(C.T, mode="complete")  # C^T [D, nc] = Qf [D,D] @ [R;0]
-    R = Rf[:nc, :]
-    Q1 = Qf[:, :nc]
     Z = Qf[:, nc:]
-    x0 = Q1 @ jax.scipy.linalg.solve_triangular(R.T, d, lower=True)
+    # particular solution via masked pseudo-inverse: redundant equality
+    # constraints (e.g. two NonlinearEquality factors on the same key) make
+    # the triangular factor singular; the SVD pinv stays finite and picks
+    # the minimum-norm feasible point. Note dependent rows conservatively
+    # SHRINK the optimized subspace Z (still feasible, slightly restricted);
+    # the reference's staggered constrained QR tolerates them the same way
+    # by treating dependent rows as zero pivots (NoiseModel.cpp:503).
+    U_, S_, Vt_ = jnp.linalg.svd(C, full_matrices=False)
+    tol = jnp.finfo(H.dtype).eps * max(D, nc) * 10.0
+    Sinv = jnp.where(S_ > tol * jnp.max(S_), 1.0 / jnp.maximum(S_, tol), 0.0)
+    x0 = Vt_.T @ (Sinv * (U_.T @ d))
     if diagonal_damping:
         damp = jnp.diag(jnp.diagonal(H))
     else:

@@ -178,6 +178,11 @@ def synchronize(
                 b.sqrt_info[rows],
                 b.robust,
                 b.sign,
+                constrained_mask=(
+                    b.constrained_mask[rows]
+                    if b.constrained_mask is not None
+                    else None
+                ),
             )
 
     # move factors + values into the smoother
@@ -189,6 +194,11 @@ def synchronize(
             b.sqrt_info[rows],
             b.robust,
             b.sign,
+            constrained_mask=(
+                b.constrained_mask[rows]
+                if b.constrained_mask is not None
+                else None
+            ),
         )
     for k in sorted(old) + separator:
         if k not in smoother.values:

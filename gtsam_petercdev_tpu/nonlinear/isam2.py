@@ -498,6 +498,10 @@ class ISAM2:
             if mr is not None:
                 self._fixed_gids.update(int(v) for v in mr.scope)
         self._marginalized.update(int(k) for k in keys)
+        # the tree was re-eliminated (retired cliques, new marginal
+        # messages): cached TreeMarginals index the OLD clique layout, so
+        # drop them (the cache key _update_count does not change here)
+        self._tm_cache = None
 
     # -- internals --------------------------------------------------------------
 

@@ -132,6 +132,31 @@ def test_son_exp_log_roundtrip(n):
     )
 
 
+def test_son_hat_reference_parity():
+    """Hard-coded SOn::Hat matrices from the reference's testSOn.cpp HatVee
+    (xi = 1..10): the tangent-vector convention must be interchangeable."""
+    v = jnp.arange(1.0, 11.0)
+    exp3 = np.array([[0, -3, 2], [3, 0, -1], [-2, 1, 0]], dtype=float)
+    np.testing.assert_allclose(np.asarray(extra.son_hat(v[:3], 3)), exp3)
+    exp4 = np.array(
+        [[0, -6, 5, 3], [6, 0, -4, -2], [-5, 4, 0, 1], [-3, 2, -1, 0]],
+        dtype=float,
+    )
+    np.testing.assert_allclose(np.asarray(extra.son_hat(v[:6], 4)), exp4)
+    exp5 = np.array(
+        [
+            [0, -10, 9, 7, -4],
+            [10, 0, -8, -6, 3],
+            [-9, 8, 0, 5, -2],
+            [-7, 6, -5, 0, 1],
+            [4, -3, 2, -1, 0],
+        ],
+        dtype=float,
+    )
+    np.testing.assert_allclose(np.asarray(extra.son_hat(v, 5)), exp5)
+    np.testing.assert_allclose(np.asarray(extra.son_vee(jnp.asarray(exp5), 5)), np.asarray(v))
+
+
 def test_sampler_covariance():
     key = jax.random.PRNGKey(0)
     sig = jnp.asarray([0.5, 2.0, 1.0], dtype=jnp.float64)
