@@ -48,8 +48,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gtsam_petercdev_tpu.inference import kernels
+from gtsam_petercdev_tpu.inference import kernels, kernels_np
 from gtsam_petercdev_tpu.inference.kernels import _einsum
+
+
+def _np_pad_last(x, target):
+    pad = target - x.shape[-1]
+    if pad <= 0:
+        return x
+    return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
+class _NpAccum:
+    """Deferred scatter-add into a [R, W] array: contributions are queued
+    as (rows, vals) and materialized by ONE np.bincount pass (np.add.at
+    costs ~0.5 ms per call regardless of size; per-call bincounts pay an
+    O(pool) output allocation each — batching pays it once)."""
+
+    def __init__(self, W):
+        self.W = W
+        self.rows = []
+        self.vals = []
+
+    def add(self, rows, vals):
+        self.rows.append(np.asarray(rows, dtype=np.int64).ravel())
+        self.vals.append(np.ascontiguousarray(vals).reshape(-1, self.W))
+
+    def flush_into(self, dst, base_row=0):
+        """dst[r] += sum of queued vals for r, for r >= base_row only
+        (callers guarantee no queued row < base_row except trash rows that
+        also sit past base_row)."""
+        if not self.rows:
+            return
+        W = self.W
+        rows = np.concatenate(self.rows)
+        vals = np.concatenate(self.vals, axis=0)
+        n_out = (dst.shape[0] - base_row) * W
+        if rows.size * W * 8 < n_out:
+            # sparse case (per-level extend-add): np.add.at's flat ~0.5 ms
+            # call cost beats an O(destination) bincount pass
+            np.add.at(dst, rows, vals)
+        else:
+            lin = ((rows - base_row)[:, None] * W + np.arange(W)).ravel()
+            acc = np.bincount(lin, weights=vals.ravel(), minlength=n_out)
+            flat = dst.reshape(-1)
+            flat[base_row * W :] += acc.astype(dst.dtype, copy=False)
+        self.rows.clear()
+        self.vals.clear()
 from gtsam_petercdev_tpu.inference.symbolic import (
     colamd_ordering,
     symbolic_eliminate,
@@ -142,7 +187,19 @@ def _make_pool_jit(nf, ns, d, cap, dtype_str):
     return jax.jit(f)
 
 
-def _make_pool(nf, ns, d, cap, dtype) -> PoolArrays:
+def _make_pool(nf, ns, d, cap, dtype, as_numpy: bool = False) -> PoolArrays:
+    if as_numpy:
+        fd, sd = nf * d, ns * d
+        dt = np.dtype(str(jnp.dtype(dtype)))
+        z = lambda *s: np.zeros(s, dtype=dt)
+        return PoolArrays(
+            L=z(cap + 1, fd, fd),
+            Linv=z(cap + 1, nf, d, d),
+            W=z(cap + 1, fd, sd),
+            y=z(cap + 1, fd),
+            U=z(cap + 1, sd, sd),
+            ug=z(cap + 1, sd),
+        )
     probe = jnp.zeros((), dtype=dtype)
     return _make_pool_jit(nf, ns, d, cap, str(dtype))(probe)
 
@@ -166,10 +223,17 @@ def _grow_pool_jit(nf, ns, d, old_cap, new_cap, dtype_str):
     return jax.jit(f)
 
 
-def _grow_pool(p: PoolClass, d, dtype) -> PoolClass:
+def _grow_pool(p: PoolClass, d, dtype, as_numpy: bool = False) -> PoolClass:
     # pool-class capacity feeds the wildfire/scatter jit signatures, so every
     # growth event recompiles all (B, nf, ns) kernels of the class: start at
     # a generous floor and grow 16x so a 10k-step run sees at most one growth
+    # (numpy backend: shapes are free, grow 4x from a small floor)
+    if as_numpy:
+        new_cap = max(2, p.cap * 2)
+        na = _make_pool(p.nf, p.ns, d, new_cap, dtype, as_numpy=True)
+        for dst, src in zip(na, p.arrays):
+            dst[: p.cap] = src[: p.cap]
+        return PoolClass(p.nf, p.ns, new_cap, na, p.free, p.top)
     if p.nf + p.ns <= 8:
         new_cap = max(4096, p.cap * 16)
     else:
@@ -463,16 +527,28 @@ class IncrementalEngine:
     relinearization policy; this engine owns the Bayes tree, cached linear
     factors, and the delta vector x [n, d] (gid order, padded to d)."""
 
-    def __init__(self, d: int, dtype=jnp.float64):
+    def __init__(self, d: int, dtype=jnp.float64, backend: str = "auto"):
+        """backend: "jax" (jitted shape-class kernels), "numpy" (eager BLAS
+        — zero compilation; the right choice for CPU-latency incremental
+        workloads whose loop closures generate fresh shape signatures), or
+        "auto" (numpy on CPU hosts, jax on accelerators)."""
+        if backend == "auto":
+            backend = "numpy" if jax.default_backend() == "cpu" else "jax"
+        self._np = backend == "numpy"
+        self.backend = backend
         self.d = d
         self.dtype = dtype
+        self._npdtype = np.dtype(str(jnp.dtype(dtype)))
         self.n = 0  # variables (gids 0..n-1)
         self.var_dims = np.zeros(0, dtype=np.int64)
         # xcap keys EVERY wildfire jit signature: a growth event recompiles
         # the whole wildfire kernel family. 16k rows of [d] f64 is ~1 MB —
         # start above the City10000 pose count so it never grows mid-run.
         self.xcap = 16384
-        self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
+        if self._np:
+            self.x = np.zeros((self.xcap + 1, d), dtype=self._npdtype)
+        else:
+            self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
         self.pools: Dict[Tuple[int, int], PoolClass] = {}
         self.msg_pools: Dict[int, PoolClass] = {}  # persistent marginals
         self.cliques: List[Optional[CliqueRec]] = []
@@ -509,8 +585,13 @@ class IncrementalEngine:
         )
         while self.n > self.xcap:
             self.xcap *= 4
-            nx = jnp.zeros((self.xcap + 1, self.d), dtype=self.dtype)
-            self.x = nx.at[: self.x.shape[0] - 1].set(self.x[:-1])
+            if self._np:
+                nx = np.zeros((self.xcap + 1, self.d), dtype=self._npdtype)
+                nx[: self.x.shape[0] - 1] = self.x[:-1]
+                self.x = nx
+            else:
+                nx = jnp.zeros((self.xcap + 1, self.d), dtype=self.dtype)
+                self.x = nx.at[: self.x.shape[0] - 1].set(self.x[:-1])
         return gids
 
     def group_for(self, key: Tuple, K: int, dims: Tuple[int, ...], sign: float) -> int:
@@ -520,6 +601,11 @@ class IncrementalEngine:
         g = len(self.groups)
         cap = 4096  # keys the gather/set jits; start big, grow rarely
         d = self.d
+        zeros = (
+            (lambda s: np.zeros(s, dtype=self._npdtype))
+            if self._np
+            else (lambda s: jnp.zeros(s, dtype=self.dtype))
+        )
         self.groups.append(
             FactorGroup(
                 gid=g,
@@ -527,10 +613,8 @@ class IncrementalEngine:
                 dims=tuple(dims),
                 sign=float(sign),
                 cap=cap,
-                A=tuple(
-                    jnp.zeros((cap + 1, d, dk), dtype=self.dtype) for dk in dims
-                ),
-                b=jnp.zeros((cap + 1, d), dtype=self.dtype),
+                A=tuple(zeros((cap + 1, d, dk)) for dk in dims),
+                b=zeros((cap + 1, d)),
                 keys=np.zeros((cap, K), dtype=np.int64),
             )
         )
@@ -542,13 +626,27 @@ class IncrementalEngine:
         while cap < need:
             cap *= 16
         d = self.d
-        A = tuple(
-            jnp.zeros((cap + 1, d, dk), dtype=self.dtype)
-            .at[: fg.cap]
-            .set(Ak[: fg.cap])
-            for dk, Ak in zip(fg.dims, fg.A)
-        )
-        b = jnp.zeros((cap + 1, d), dtype=self.dtype).at[: fg.cap].set(fg.b[: fg.cap])
+        if self._np:
+            A = []
+            for dk, Ak in zip(fg.dims, fg.A):
+                An = np.zeros((cap + 1, d, dk), dtype=self._npdtype)
+                An[: fg.cap] = Ak[: fg.cap]
+                A.append(An)
+            A = tuple(A)
+            b = np.zeros((cap + 1, d), dtype=self._npdtype)
+            b[: fg.cap] = fg.b[: fg.cap]
+        else:
+            A = tuple(
+                jnp.zeros((cap + 1, d, dk), dtype=self.dtype)
+                .at[: fg.cap]
+                .set(Ak[: fg.cap])
+                for dk, Ak in zip(fg.dims, fg.A)
+            )
+            b = (
+                jnp.zeros((cap + 1, d), dtype=self.dtype)
+                .at[: fg.cap]
+                .set(fg.b[: fg.cap])
+            )
         keys = np.zeros((cap, fg.K), dtype=np.int64)
         keys[: fg.n] = fg.keys[: fg.n]
         fg.A, fg.b, fg.keys, fg.cap = A, b, keys, cap
@@ -574,10 +672,17 @@ class IncrementalEngine:
         A/b may be shape-padded beyond len(rows); pad entries write to the
         trash row which is re-zeroed in the same fused device call."""
         fg = self.groups[g]
-        b = jnp.asarray(b, dtype=self.dtype)
-        Np = b.shape[0]
+        Np = np.asarray(b).shape[0]
         idx_np = np.full(Np, fg.cap, dtype=np.int32)
         idx_np[: len(rows)] = np.asarray(rows, dtype=np.int32)
+        if self._np:
+            for Ak, An in zip(fg.A, A):
+                Ak[idx_np] = np.asarray(An, dtype=self._npdtype)
+                Ak[fg.cap] = 0.0
+            fg.b[idx_np] = np.asarray(b, dtype=self._npdtype)
+            fg.b[fg.cap] = 0.0
+            return
+        b = jnp.asarray(b, dtype=self.dtype)
         A = tuple(jnp.asarray(Ak, dtype=self.dtype) for Ak in A)
         fg.A, fg.b = _set_rows_jit(fg.K, fg.cap, Np)(
             fg.A, fg.b, jnp.asarray(idx_np), A, b
@@ -720,39 +825,70 @@ class IncrementalEngine:
         plan = self._plan_cache.get(sig)
         if plan is None:
             plan = self._build_plan(lva, fac_entries, msg_entries, first_l, last_l)
-            self._plan_cache[sig] = plan
-            if len(self._plan_cache) > self._plan_cache_cap:
-                self._plan_cache.popitem(last=False)
+            if m <= 512:  # closure cascades don't repeat structurally
+                self._plan_cache[sig] = plan
+                if len(self._plan_cache) > self._plan_cache_cap:
+                    self._plan_cache.popitem(last=False)
         else:
             self._plan_cache.move_to_end(sig)
 
         # ---- runtime: assemble the block pool (per-group scatters) ----
-        while self.pool_cap < plan.n_blocks + 1:
-            self.pool_cap *= 4
-        while self.gp_cap < plan.n_grows + 1:
-            self.gp_cap *= 4
-        Pcap = self.pool_cap
-        Gcap = self.gp_cap
-        pool, gp = _new_pool_jit(Pcap, Gcap, d, str(self.dtype))(self.x)
+        dd = d * d
         own_fac: Dict[int, List[Tuple[int, int]]] = {}
         own_msg: Dict[int, List[int]] = {}
+        orphan_owner: Dict[int, int] = {}  # orphan entry idx -> owner lcid
+        if self._np:
+            pool = np.zeros((plan.n_blocks + 1, dd), dtype=self._npdtype)
+            gp = np.zeros((plan.n_grows + 1, d), dtype=self._npdtype)
+            acc_pool = _NpAccum(dd)
+            acc_gp = _NpAccum(d)
+            Pcap = Gcap = 0
+        else:
+            while self.pool_cap < plan.n_blocks + 1:
+                self.pool_cap *= 4
+            while self.gp_cap < plan.n_grows + 1:
+                self.gp_cap *= 4
+            Pcap = self.pool_cap
+            Gcap = self.gp_cap
+            pool, gp = _new_pool_jit(Pcap, Gcap, d, str(self.dtype))(self.x)
         for (g, rows, _), (_, N, Np, blk_dev, gix_dev, own_lcid) in zip(
             fac_entries, plan.fac
         ):
             fg = self.groups[g]
-            rows_p = np.full(Np, fg.cap, dtype=np.int32)
-            rows_p[:N] = rows
-            A, b = _gather_fac_jit(fg.K, fg.dims, d, fg.cap, Np)(
-                fg.A, fg.b, jnp.asarray(rows_p)
-            )
-            pool, gp = _scatter_group_jit(
-                fg.K, fg.dims, fg.sign, Np, d, Pcap, Gcap
-            )(pool, gp, A, b, blk_dev, gix_dev)
+            if self._np:
+                A = tuple(Ak[rows] for Ak in fg.A)
+                b = fg.b[rows]
+                blk = np.asarray(blk_dev)[:N]
+                gix = np.asarray(gix_dev)[:N]
+                for k in range(fg.K):
+                    gk = np.matmul(A[k].transpose(0, 2, 1), b[:, :, None])[
+                        :, :, 0
+                    ]
+                    if fg.sign != 1.0:
+                        gk = gk * fg.sign
+                    acc_gp.add(gix[:, k], _np_pad_last(gk, d))
+                    for l in range(fg.K):
+                        v = np.matmul(A[k].transpose(0, 2, 1), A[l])
+                        if fg.sign != 1.0:
+                            v = v * fg.sign
+                        v = np.pad(
+                            v,
+                            ((0, 0), (0, d - v.shape[1]), (0, d - v.shape[2])),
+                        )
+                        acc_pool.add(blk[:, k, l], v.reshape(N, dd))
+            else:
+                rows_p = np.full(Np, fg.cap, dtype=np.int32)
+                rows_p[:N] = rows
+                A, b = _gather_fac_jit(fg.K, fg.dims, d, fg.cap, Np)(
+                    fg.A, fg.b, jnp.asarray(rows_p)
+                )
+                pool, gp = _scatter_group_jit(
+                    fg.K, fg.dims, fg.sign, Np, d, Pcap, Gcap
+                )(pool, gp, A, b, blk_dev, gix_dev)
             for i in range(N):
                 own_fac.setdefault(int(own_lcid[i]), []).append(
                     (g, int(rows[i]))
                 )
-        orphan_owner: Dict[int, int] = {}  # orphan entry idx -> owner lcid
         for (src, pkey, nsc, Mp, blk_dev, gix_dev, order, own_lcid) in plan.msg:
             pc = self.pools[pkey] if src == "clq" else self.msg_pools[pkey]
             rows_p = np.full(Mp, pc.cap, dtype=np.int32)
@@ -764,25 +900,79 @@ class IncrementalEngine:
                     )
                 else:
                     orphan_owner[ei] = int(own_lcid[mi])
-            U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
-                pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
+            if self._np:
+                M = len(order)
+                sel = rows_p[:M]
+                U = pc.arrays.U[sel]
+                ug = pc.arrays.ug[sel]
+                Ub = (
+                    U.reshape(M, nsc, d, nsc, d)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(M * nsc * nsc, dd)
+                )
+                blk = np.asarray(blk_dev)[:M]
+                gix = np.asarray(gix_dev)[:M]
+                acc_pool.add(blk.reshape(-1), Ub)
+                acc_gp.add(gix.reshape(-1), ug.reshape(M * nsc, d))
+            else:
+                U, ug = _gather_msgs_jit(Mp, nsc, d, pc.cap)(
+                    pc.arrays.U, pc.arrays.ug, jnp.asarray(rows_p)
+                )
+                pool, gp = _scatter_msg_class_jit(nsc, Mp, d, Pcap, Gcap)(
+                    pool, gp, U, ug, blk_dev, gix_dev
+                )
+        if self._np:
+            acc_pool.add(
+                np.asarray(plan.eye_rows_dev), np.asarray(plan.eye_vals_dev)
             )
-            pool, gp = _scatter_msg_class_jit(nsc, Mp, d, Pcap, Gcap)(
-                pool, gp, U, ug, blk_dev, gix_dev
+            acc_pool.flush_into(pool)
+            acc_gp.flush_into(gp)
+        else:
+            pool = _scatter_eye_jit(plan.eye_rows_dev.shape[0], d, Pcap)(
+                pool, plan.eye_rows_dev, plan.eye_vals_dev
             )
-        pool = _scatter_eye_jit(plan.eye_rows_dev.shape[0], d, Pcap)(
-            pool, plan.eye_rows_dev, plan.eye_vals_dev
-        )
 
         # ---- bottom-up level sweep (one small jit per level SHAPE) ----
         outs = []
-        bad = jnp.zeros((), jnp.int32)
+        bad = 0 if self._np else jnp.zeros((), jnp.int32)
         for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
             boff, goff = plan.lvl_offsets[li]
             ext_dev, extg_dev = plan.ext_dev[li]
-            pool, gp, out = _level_jit(Bp, nf, ns, d, Pcap, Gcap)(
-                pool, gp, boff, goff, ext_dev, extg_dev
-            )
+            if self._np:
+                mb = nf + ns
+                m_ = mb * d
+                blocks = pool[boff : boff + Bp * mb * mb]
+                Fm = (
+                    blocks.reshape(Bp, mb, mb, d, d)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(Bp, m_, m_)
+                )
+                gm = gp[goff : goff + Bp * mb].reshape(Bp, m_)
+                out = kernels_np.partial_cholesky(Fm, gm, nf, d)
+                if ns > 0:
+                    Ublk = (
+                        out["U"]
+                        .reshape(Bp, ns, d, ns, d)
+                        .transpose(0, 1, 3, 2, 4)
+                        .reshape(Bp * ns * ns, dd)
+                    )
+                    # parents live in strictly later levels, so the scatter
+                    # only touches the pool suffix past the next level
+                    if li + 1 < len(plan.lvl_offsets):
+                        b_base, g_base_ = plan.lvl_offsets[li + 1]
+                    else:
+                        b_base, g_base_ = boff + Bp * mb * mb, goff + Bp * mb
+                    acc_pool.add(np.asarray(ext_dev).reshape(-1), Ublk)
+                    acc_pool.flush_into(pool, base_row=b_base)
+                    acc_gp.add(
+                        np.asarray(extg_dev).reshape(-1),
+                        out["ug"].reshape(Bp * ns, d),
+                    )
+                    acc_gp.flush_into(gp, base_row=g_base_)
+            else:
+                pool, gp, out = _level_jit(Bp, nf, ns, d, Pcap, Gcap)(
+                    pool, gp, boff, goff, ext_dev, extg_dev
+                )
             bad = bad + out["bad"]
             outs.append(out)
 
@@ -801,14 +991,18 @@ class IncrementalEngine:
             cls = (nf, ns)
             pc = self.pools.get(cls)
             if pc is None:
-                pc = PoolClass(nf, ns, 0, _make_pool(nf, ns, d, 0, self.dtype))
+                pc = PoolClass(
+                    nf, ns, 0, _make_pool(nf, ns, d, 0, self.dtype, self._np)
+                )
                 self.pools[cls] = pc
             rows_np = np.full(Bp, 0, dtype=np.int32)
             lv_cids = []
             for i, (pcid, fro_lv, sep_lv, par) in enumerate(clqs):
                 r = pc.alloc()
                 while r < 0:
-                    self.pools[cls] = pc = _grow_pool(pc, d, self.dtype)
+                    self.pools[cls] = pc = _grow_pool(
+                        pc, d, self.dtype, self._np
+                    )
                     r = pc.alloc()
                 rows_np[i] = r
                 gcid = len(self.cliques)
@@ -827,13 +1021,25 @@ class IncrementalEngine:
                 for gid in rec.frontal:
                     self.var_clique[gid] = gcid
             rows_np[B_real:] = pc.cap  # trash
-            self.pools[cls] = PoolClass(
-                pc.nf, pc.ns, pc.cap,
-                _scatter_pool_jit(Bp, nf, ns, d, pc.cap)(
-                    pc.arrays, jnp.asarray(rows_np), outs[li]
-                ),
-                pc.free, pc.top,
-            )
+            if self._np:
+                out = outs[li]
+                a = pc.arrays
+                a.L[rows_np] = out["L"]
+                a.Linv[rows_np] = out["Linv"]
+                a.W[rows_np] = out["W"]
+                a.y[rows_np] = out["y"]
+                a.U[rows_np] = out["U"]
+                a.ug[rows_np] = out["ug"]
+                for arr in a:  # keep the trash row zero for pad gathers
+                    arr[pc.cap] = 0.0
+            else:
+                self.pools[cls] = PoolClass(
+                    pc.nf, pc.ns, pc.cap,
+                    _scatter_pool_jit(Bp, nf, ns, d, pc.cap)(
+                        pc.arrays, jnp.asarray(rows_np), outs[li]
+                    ),
+                    pc.free, pc.top,
+                )
             new_by_level.append(lv_cids)
         self.n_live += plan.n_cliques
 
@@ -850,6 +1056,17 @@ class IncrementalEngine:
             pg = local2global[orphan_owner[ei]]
             c.parent = pg
             self.cliques[pg].children.add(cid)
+
+        # ---- reclaim empty pool classes (exact numpy shapes make big
+        # transient loop-closure classes; their arrays are dead weight) ----
+        if self._np:
+            for cls_k in list(self.pools):
+                pc0 = self.pools[cls_k]
+                if pc0.cap > 0 and pc0.top == len(pc0.free):
+                    self.pools[cls_k] = PoolClass(
+                        pc0.nf, pc0.ns, 0,
+                        _make_pool(pc0.nf, pc0.ns, d, 0, self.dtype, True),
+                    )
 
         # ---- wildfire back-substitution from the new cliques ----
         n_rounds = self._wildfire(new_by_level, wildfire_threshold)
@@ -872,6 +1089,12 @@ class IncrementalEngine:
         Device copies of the constant maps are uploaded here, once."""
         d = self.d
         m = len(lva)
+        up = (lambda a: a) if self._np else jnp.asarray
+        # numpy backend executes eagerly: shape padding and batch chunking
+        # only exist to bound jit-signature counts, so use exact shapes
+        padf = (lambda x: max(1, x)) if self._np else _pad
+        bclassf = (lambda x: max(1, x)) if self._np else _b_class
+        chunk = (1 << 30) if self._np else _B_CHUNK
         factor_vars = [lids for (_, _, lids) in fac_entries] + [
             sc[None, :] for (_, _, _, sc) in msg_entries
         ]
@@ -898,7 +1121,8 @@ class IncrementalEngine:
         barrier = first_l if first_l else None
         plan = symbolic_eliminate(
             m, factor_vars, d, ordering=order, max_buckets_per_level=1,
-            no_merge_across=barrier, pad_fn=_pad_class,
+            no_merge_across=barrier,
+            pad_fn=(lambda x: max(1, x)) if self._np else _pad_class,
         )
 
         # ---- layout: one padded bucket per level + dummy levels ----
@@ -918,12 +1142,12 @@ class IncrementalEngine:
         real_buckets = []
         for lv in plan.levels:
             bk = lv[0]
-            for s in range(0, max(1, len(bk.cliques)), _B_CHUNK):
-                chunk = bk.cliques[s : s + _B_CHUNK]
+            for s in range(0, max(1, len(bk.cliques)), chunk):
+                ck = bk.cliques[s : s + chunk]
                 real_buckets.append(
-                    (_BucketChunk(bk.nf, bk.ns, chunk), _b_class(len(chunk)))
+                    (_BucketChunk(bk.nf, bk.ns, ck), bclassf(len(ck)))
                 )
-        n_levels_pad = _pad(max(1, len(real_buckets)))
+        n_levels_pad = padf(max(1, len(real_buckets)))
         bucket_sig = tuple((Bp, bk.nf, bk.ns) for bk, Bp in real_buckets) + tuple(
             (1, 1, 0) for _ in range(n_levels_pad - len(real_buckets))
         )
@@ -959,7 +1183,7 @@ class IncrementalEngine:
         for (g, rows, lids) in fac_entries:
             fg = self.groups[g]
             N, K = lids.shape
-            Np = _pad(N)
+            Np = padf(N)
             pvs = iperm[lids]
             own = plan.var_clique[pvs.min(axis=1)]
             blk = np.full((Np, K, K), trash_blk, dtype=np.int64)
@@ -977,8 +1201,8 @@ class IncrementalEngine:
                 gix[:N, k] = g_base[own] + pos[:, k]
             groups_sig.append((K, fg.dims, fg.sign, Np))
             plan_fac.append(
-                (g, N, Np, jnp.asarray(blk.astype(np.int32)),
-                 jnp.asarray(gix.astype(np.int32)), own.copy())
+                (g, N, Np, up(blk.astype(np.int32)),
+                 up(gix.astype(np.int32)), own.copy())
             )
 
         # ---- message scatter maps ----
@@ -991,7 +1215,7 @@ class IncrementalEngine:
             by_class.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
         ):
             M = len(idxs)
-            Mp = _pad(M)
+            Mp = padf(M)
             blk = np.full((Mp, nsc, nsc), trash_blk, dtype=np.int64)
             gix = np.full((Mp, nsc), trash_g, dtype=np.int64)
             own_lcid = np.zeros(M, dtype=np.int64)
@@ -1008,8 +1232,8 @@ class IncrementalEngine:
                 gix[mi, :nr] = g_base[ownc.cid] + ps
             msg_sigs.append((nsc, Mp))
             plan_msg.append(
-                (src, pkey, nsc, Mp, jnp.asarray(blk.astype(np.int32)),
-                 jnp.asarray(gix.astype(np.int32)), list(idxs), own_lcid)
+                (src, pkey, nsc, Mp, up(blk.astype(np.int32)),
+                 up(gix.astype(np.int32)), list(idxs), own_lcid)
             )
 
         # ---- identity padding rows ----
@@ -1031,7 +1255,7 @@ class IncrementalEngine:
                     eye_rows.append(blk_base[c.cid] + i * mb + i)
                     eye_vals.append(v.reshape(-1))
         P = len(eye_rows)
-        Pp = _pad(max(1, P))
+        Pp = padf(max(1, P))
         eye_rows_np = np.full(Pp, trash_blk, dtype=np.int32)
         eye_rows_np[:P] = eye_rows
         eye_vals_np = np.zeros((Pp, dd))
@@ -1059,12 +1283,12 @@ class IncrementalEngine:
                     )
                     extg[i, :nr] = g_base[p.cid] + ppos
             ext_dev.append(
-                (jnp.asarray(ext.astype(np.int32)),
-                 jnp.asarray(extg.astype(np.int32)))
+                (up(ext.astype(np.int32)), up(extg.astype(np.int32)))
             )
         for _ in range(n_levels_pad - len(real_buckets)):
             ext_dev.append(
-                (jnp.zeros((1, 0, 0), jnp.int32), jnp.zeros((1, 0), jnp.int32))
+                (up(np.zeros((1, 0, 0), np.int32)),
+                 up(np.zeros((1, 0), np.int32)))
             )
 
         # ---- per-level clique metadata (for CliqueRec construction) ----
@@ -1087,8 +1311,12 @@ class IncrementalEngine:
             cfg=(),
             fac=plan_fac,
             msg=plan_msg,
-            eye_rows_dev=jnp.asarray(eye_rows_np),
-            eye_vals_dev=jnp.asarray(eye_vals_np, dtype=self.dtype),
+            eye_rows_dev=up(eye_rows_np),
+            eye_vals_dev=(
+                eye_vals_np.astype(self._npdtype)
+                if self._np
+                else jnp.asarray(eye_vals_np, dtype=self.dtype)
+            ),
             ext_dev=ext_dev,
             levels_meta=levels_meta,
             n_cliques=len(cliques),
@@ -1109,9 +1337,10 @@ class IncrementalEngine:
         for cls, full_group in sorted(by_cls.items()):
             nf, ns = cls
             pc = self.pools[cls]
+            step = (1 << 30) if self._np else _B_CHUNK
             chunks = [
-                full_group[s : s + _B_CHUNK]
-                for s in range(0, len(full_group), _B_CHUNK)
+                full_group[s : s + step]
+                for s in range(0, len(full_group), step)
             ]
             self._wild_chunks(cls, nf, ns, pc, chunks, changes)
         return changes
@@ -1119,7 +1348,7 @@ class IncrementalEngine:
     def _wild_chunks(self, cls, nf, ns, pc, chunks, changes):
         d = self.d
         for group in chunks:
-            B = _b_class(len(group))
+            B = len(group) if self._np else _b_class(len(group))
             rows = np.full(B, pc.cap, dtype=np.int32)
             sep_idx = np.full((B, ns), self.xcap, dtype=np.int32)
             fro_idx = np.full((B, nf), self.xcap, dtype=np.int32)
@@ -1132,16 +1361,30 @@ class IncrementalEngine:
                 for fi, gid in enumerate(c.frontal):
                     fro_idx[i, fi] = gid
                 valid[i] = 1.0
-            fn = _wild_jit(B, nf, ns, d, pc.cap, self.xcap)
-            self.x, chg = fn(
-                pc.arrays,
-                jnp.asarray(rows),
-                jnp.asarray(sep_idx),
-                jnp.asarray(fro_idx),
-                jnp.asarray(valid, dtype=self.dtype),
-                self.x,
-            )
-            chg = np.asarray(chg)
+            if self._np:
+                a = pc.arrays
+                Lg, Linvg, Wg, yg = a.L[rows], a.Linv[rows], a.W[rows], a.y[rows]
+                if ns > 0:
+                    xs = self.x[sep_idx].reshape(B, ns * d)
+                    rhs = yg - np.einsum("bfs,bs->bf", Wg, xs)
+                else:
+                    rhs = yg
+                xf = kernels_np.backsolve_bucket(Lg, Linvg, rhs, nf, d)
+                xold = self.x[fro_idx].reshape(B, nf * d)
+                chg = np.max(np.abs(xf - xold), axis=1) * valid
+                self.x[fro_idx.reshape(-1)] = xf.reshape(B * nf, d)
+                self.x[self.xcap] = 0.0
+            else:
+                fn = _wild_jit(B, nf, ns, d, pc.cap, self.xcap)
+                self.x, chg = fn(
+                    pc.arrays,
+                    jnp.asarray(rows),
+                    jnp.asarray(sep_idx),
+                    jnp.asarray(fro_idx),
+                    jnp.asarray(valid, dtype=self.dtype),
+                    self.x,
+                )
+                chg = np.asarray(chg)
             for i, cid in enumerate(group):
                 changes[cid] = float(chg[i])
 
@@ -1190,6 +1433,9 @@ class IncrementalEngine:
         return self.x[jnp.asarray(np.asarray(gids, dtype=np.int32)), :dim]
 
     def zero_delta_rows(self, gids):
+        if self._np:
+            self.x[np.asarray(gids, dtype=np.int32)] = 0.0
+            return
         # shape-padded (pads hit the trash row, already zero)
         n = len(gids)
         idx = np.full(_pad(max(1, n)), self.xcap, dtype=np.int32)
@@ -1204,6 +1450,8 @@ class IncrementalEngine:
         Computed over the full capacity-padded x so the jitted reduction's
         shape is stable across variable growth (no per-step recompiles);
         rows beyond n are zero."""
+        if self._np:
+            return np.max(np.abs(self.x[: self.n]), axis=1)
         md = np.asarray(_max_abs_jit(self.x.shape[0])(self.x))
         return md[: self.n]
 
@@ -1261,20 +1509,29 @@ class IncrementalEngine:
             if live_scope and not any(v in gset for v in live_scope):
                 mp = self.msg_pools.get(nsc)
                 if mp is None:
-                    mp = PoolClass(0, nsc, 0, _make_pool(0, nsc, self.d, 0, self.dtype))
+                    mp = PoolClass(
+                        0, nsc, 0,
+                        _make_pool(0, nsc, self.d, 0, self.dtype, self._np),
+                    )
                     self.msg_pools[nsc] = mp
                 r = mp.alloc()
                 while r < 0:
-                    self.msg_pools[nsc] = mp = _grow_pool(mp, self.d, self.dtype)
+                    self.msg_pools[nsc] = mp = _grow_pool(
+                        mp, self.d, self.dtype, self._np
+                    )
                     r = mp.alloc()
                 src = self.pools[c.cls]
-                U2, ug2 = _copy_msg_jit(nsc, self.d, src.cap, mp.cap)(
-                    mp.arrays.U, mp.arrays.ug,
-                    jnp.asarray(np.asarray([r], np.int32)),
-                    src.arrays.U, src.arrays.ug,
-                    jnp.asarray(np.asarray([c.row], np.int32)),
-                )
-                mp.arrays = mp.arrays._replace(U=U2, ug=ug2)
+                if self._np:
+                    mp.arrays.U[r] = src.arrays.U[c.row]
+                    mp.arrays.ug[r] = src.arrays.ug[c.row]
+                else:
+                    U2, ug2 = _copy_msg_jit(nsc, self.d, src.cap, mp.cap)(
+                        mp.arrays.U, mp.arrays.ug,
+                        jnp.asarray(np.asarray([r], np.int32)),
+                        src.arrays.U, src.arrays.ug,
+                        jnp.asarray(np.asarray([c.row], np.int32)),
+                    )
+                    mp.arrays = mp.arrays._replace(U=U2, ug=ug2)
                 mid = len(self.msgs)
                 self.msgs.append(MsgRec(mid=mid, ns=nsc, row=r, scope=live_scope))
                 # owner: the live clique where the first separator var is frontal

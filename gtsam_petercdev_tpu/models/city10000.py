@@ -118,6 +118,13 @@ def run_city10000(
         isam.update(nf, nv)
         res.step_times.append(time.perf_counter() - t0)
         if progress_every and len(res.step_times) % progress_every == 0:
+            try:  # release allocator free-lists (closure-sized transients
+                # fragment glibc arenas into multi-GB RSS otherwise)
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:
+                pass
             k = len(res.step_times)
             avg = float(np.mean(res.step_times[-progress_every:])) * 1e3
             rss_gb = 0.0
@@ -204,6 +211,17 @@ if __name__ == "__main__":
         "step_ms_p99": round(float(np.percentile(st, 99)), 2),
         "step_ms_max": round(float(st.max()), 1),
         "ate_rmse_m": round(r.ate_rmse(gt), 4),
+        "segments_1k": [
+            {
+                "steps": f"{s0}-{min(s0 + 1000, len(st))}",
+                "mean_ms": round(float(seg.mean()), 2),
+                "p50_ms": round(float(np.percentile(seg, 50)), 2),
+                "p99_ms": round(float(np.percentile(seg, 99)), 2),
+                "sum_s": round(float(seg.sum() / 1e3), 1),
+            }
+            for s0 in range(0, len(st), 1000)
+            for seg in [st[s0 : s0 + 1000]]
+        ],
     }
     print(
         f"poses={r.n_poses} loops={r.n_loop_closures} total={r.total_time:.1f}s "

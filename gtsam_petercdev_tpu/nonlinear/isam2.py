@@ -62,6 +62,9 @@ class ISAM2Params:
     wildfire_threshold: float = 0.001
     evaluate_error: bool = False  # fill ISAM2Result.error_* (costs O(graph))
     block_dim: Optional[int] = None  # pad dim; default max dim of first types
+    # "auto": eager numpy engine on CPU hosts (zero compile churn for the
+    # latency-bound incremental loop), jitted engine on accelerators
+    engine_backend: str = "auto"
 
 
 @dataclass
@@ -513,7 +516,9 @@ class ISAM2:
             raise ValueError("first ISAM2.update must introduce variables")
         d = self.params.block_dim or max(manifold.get(t).dim for t in types)
         leaf = jax.tree_util.tree_leaves(new_theta.params(types[0]))[0]
-        self._engine = IncrementalEngine(d, dtype=leaf.dtype)
+        self._engine = IncrementalEngine(
+            d, dtype=leaf.dtype, backend=self.params.engine_backend
+        )
         return self._engine
 
     def _add_variables(self, new_theta: Optional[Values]) -> List[int]:
