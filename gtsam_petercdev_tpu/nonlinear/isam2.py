@@ -34,7 +34,7 @@ linearized system to solver precision.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
 
@@ -79,6 +79,8 @@ class ISAM2Result:
     wildfire_rounds: int = 0
     bad_pivots: Any = 0
     n_cliques: int = 0
+    # engine units of the factors added THIS update (pass to remove_factors)
+    new_factor_units: List[Tuple[int, int]] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -379,9 +381,32 @@ class ISAM2:
         res.wildfire_rounds = stats.get("wildfire_rounds", 0)
         res.bad_pivots = stats.get("bad_pivots", 0)
         res.n_cliques = eng.n_live
+        res.new_factor_units = list(new_units)
         if self.params.evaluate_error:
             res.error_after = self.error(self.calculate_estimate())
         return res
+
+    def remove_factors(self, units: Sequence[Tuple[int, int]]) -> None:
+        """Remove previously added factors by their engine units (returned
+        in ISAM2Result.new_factor_units) — the ISAM2UpdateParams
+        removeFactorIndices analog. The affected part of the tree is
+        re-eliminated without the removed information."""
+        if not units:
+            return
+        eng = self._engine
+        for (g, r) in units:
+            grp = self._groups[g]
+            if grp is not None and grp.retired is not None and r < grp.n:
+                grp.retired[r] = True
+        marked = eng.remove_factor_units(units)
+        marked = {g for g in marked if g in eng.var_clique}
+        if marked:
+            eng.update(
+                marked=marked,
+                wildfire_threshold=self.params.wildfire_threshold,
+            )
+        self._update_count += 1
+        self._tm_cache = None
 
     @property
     def theta(self) -> Values:
@@ -484,7 +509,9 @@ class ISAM2:
             self._tm_cache = (self._update_count, TreeMarginals(self._engine))
         return self._tm_cache[1]
 
-    def marginalize_leaves(self, keys: Sequence[int]) -> None:
+    def marginalize_leaves(
+        self, keys: Sequence[int], keep_messages: bool = True
+    ) -> None:
         """ISAM2::marginalizeLeaves (ISAM2.cpp:487-724): eliminate the given
         variables out of the tree forever, replacing their factors with
         cached Gaussian marginals on the live separator variables. Scope
@@ -492,7 +519,7 @@ class ISAM2:
         eng = self._engine
         gids = [self._key_gid[int(k)] for k in keys if int(k) in self._key_gid]
         n_msgs_before = len(eng.msgs)
-        retired = eng.marginalize_leaves(gids)
+        retired = eng.marginalize_leaves(gids, keep_messages=keep_messages)
         for (g, r) in retired:
             grp = self._groups[g]
             if grp is not None and r < grp.n:

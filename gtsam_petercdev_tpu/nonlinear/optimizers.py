@@ -36,10 +36,12 @@ class OptimizerParams:
     relative_error_tol: float = 1e-5
     absolute_error_tol: float = 1e-5
     error_tol: float = 0.0
-    solver: str = "dense"  # dense | pcg | multifrontal
+    solver: str = "dense"  # dense | pcg | multifrontal | schur | partitioned
     pcg_tol: float = 1e-10
     pcg_max_iters: int = 1000
     verbose: bool = False
+    # solver="partitioned": device count (None = every visible device)
+    partition_devices: Optional[int] = None
 
 
 @dataclass
@@ -186,6 +188,19 @@ def _build_fns(graph: NonlinearFactorGraph, params: OptimizerParams):
                 graph, values, lam,
                 diagonal_damping=getattr(params, "diagonal_damping", False),
                 cache=cache,
+            )
+
+    elif params.solver == "partitioned":
+        # multi-device SPMD separator-Schur solve over a jax.sharding.Mesh
+        # (gtsam_unstable/partition/NestedDissection.h analog); lambda flows
+        # into every trial solve so LM's tryLambda retry loop works
+        from gtsam_petercdev_tpu.parallel import partition as _part
+
+        def solve(values, lam, cache):
+            return _part.solve_linearized(
+                graph, values, lam,
+                cache=cache,
+                n_parts=getattr(params, "partition_devices", None),
             )
 
     else:

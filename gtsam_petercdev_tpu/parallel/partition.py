@@ -195,6 +195,8 @@ def build_partitioned_plan(
         var_dims = np.full(n, d, dtype=np.int64)
     edges = _graph_edges(structure)
     interiors, sep = partition_vars(n, edges, n_parts)
+    while len(interiors) < n_parts:  # tiny graphs: some parts stay empty
+        interiors.append(np.zeros(0, dtype=np.int64))
     S = len(sep)
     sid = np.full(n, -1, dtype=np.int64)
     sid[sep] = np.arange(S)
@@ -344,9 +346,11 @@ def build_partitioned_plan(
     for bi, ent in enumerate(structure):
         keys = ent["keys"]
         K = keys.shape[1]
+        n_sep_rows = int(np.sum(fac_part[bi] < 0))
         Nb = max(
             max((len(pp["rowsets"][bi]) for pp in per_part), default=0),
-            int(np.sum(fac_part[bi] < 0)),
+            # part 0 carries its own rows PLUS the pure-separator factors
+            len(per_part[0]["rowsets"][bi]) + n_sep_rows,
         )
         Nb = _pow2(max(1, Nb))
         rows_m = np.zeros((n_parts, Nb), dtype=np.int32)
@@ -746,3 +750,81 @@ class PartitionedSolver:
             if len(gids):
                 x[gids] = x_parts[p][plan.int_out_pos[p]]
         return x
+
+
+# ---------------------------------------------------------------------------
+# optimizer integration (solver="partitioned")
+# ---------------------------------------------------------------------------
+
+_PSOLVE_CACHE: Dict = {}
+
+
+def clear_solver_cache():
+    _PSOLVE_CACHE.clear()
+
+
+def solve_linearized(graph, values, lam, cache=None, n_parts=None):
+    """GN/LM linear-solve hook over the partitioned SPMD solver.
+
+    Linearizes once per outer iteration (cached), builds the partitioned
+    plan + mesh once per graph structure, and solves the damped system for
+    each lambda trial (LM tryLambda retries flow through unchanged).
+    Returns (delta dict, linearized cost decrease) like the other solvers.
+    """
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.linear import solve as linsolve
+
+    cache = cache if cache is not None else {}
+    if cache.get("mf_lg") is None:
+        cache["mf_lg"] = graph.linearize(values)
+    lg = cache["mf_lg"]
+
+    types = sorted(lg.type_counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    d = max(dims.values())
+    offs, off = {}, 0
+    for t in types:
+        offs[t] = off
+        off += lg.type_counts[t]
+    n = off
+
+    if n_parts is None:
+        n_parts = len(jax.devices())
+    key = (id(graph), n_parts)
+    ent = _PSOLVE_CACHE.get(key)
+    if ent is None:
+        structure = [
+            {
+                "keys": np.stack(
+                    [np.asarray(r, np.int64) + offs[t]
+                     for r, t in zip(lb.rows, lb.var_types)],
+                    axis=1,
+                ),
+                "dims": tuple(dims[t] for t in lb.var_types),
+            }
+            for lb in lg.batches
+        ]
+        var_dims = np.full(n, d, dtype=np.int64)
+        for t in types:
+            var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+        plan = build_partitioned_plan(structure, n, d, n_parts,
+                                      var_dims=var_dims)
+        mesh = Mesh(np.array(jax.devices()[:n_parts]), ("parts",))
+        ent = PartitionedSolver(plan, mesh)
+        _PSOLVE_CACHE[key] = ent
+
+    Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+    x = ent.solve(Ab, lam)
+    delta = {
+        t: jnp.asarray(
+            x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]],
+            dtype=lg.batches[0].b.dtype,
+        )
+        for t in types
+    }
+    g = linsolve.gradient(lg)
+    Hd = linsolve.hvp(lg, delta)
+    lin_dec = sum(jnp.vdot(g[t], delta[t]) for t in delta) - 0.5 * sum(
+        jnp.vdot(delta[t], Hd[t]) for t in delta
+    )
+    return delta, lin_dec

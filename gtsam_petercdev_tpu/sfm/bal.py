@@ -136,6 +136,9 @@ def _read_bal_native(path: str):
 
 def read_bal(path: str, dtype=np.float64) -> SfmData:
     """SfmData::FromBalFile (SfmData.cpp:189)."""
+    # canonicalize (f64 -> f32 when x64 is disabled) so device conversion
+    # below is explicit rather than a silent-truncation warning
+    dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(dtype))
     native = _read_bal_native(path)
     if native is not None:
         n_cams, n_pts, n_obs, cam_idx, pt_idx, uv, cams9, pts3 = native
