@@ -107,11 +107,17 @@ def main():
     # secondary: BA LM-iteration throughput (landmark Schur elimination +
     # reduced camera solve) on the BAL dubrovnik sequence — the north-star
     # "BA iterations/sec/chip" number (reference timing/timeSFMBAL*.cpp)
-    ba_its = None
+    extras = {}
     try:
-        ba_its = _ba_iters_per_s()
+        extras["ba_dubrovnik_lm_iters_per_s"] = round(_ba_iters_per_s(), 2)
     except Exception as e:
         print(f"# BA bench failed: {e!r}", file=sys.stderr)
+    try:
+        extras["ba_synth_1000cam_50kpt_lm_iters_per_s"] = round(
+            _ba_scale_iters_per_s(), 3
+        )
+    except Exception as e:
+        print(f"# BA-scale bench failed: {e!r}", file=sys.stderr)
 
     rec = {
         "metric": "sphere2500_gn_iter_ms",
@@ -119,14 +125,86 @@ def main():
         "unit": "ms",
         "vs_baseline": round(vs, 3),
     }
-    if ba_its is not None:
-        rec["extras"] = {"ba_dubrovnik_lm_iters_per_s": round(ba_its, 2)}
+    if extras:
+        rec["extras"] = extras
     print(json.dumps(rec))
     print(
         f"# compile {compile_s:.1f}s, times {['%.1f' % t for t in times]}, "
         f"backend {jax.default_backend()}",
         file=sys.stderr,
     )
+
+
+def _ba_scale_iters_per_s(n_cams=1000, n_pts=50_000, obs=4):
+    """LM-iteration throughput on a synthesized BAL-scale rig (the reference
+    ships only 3-camera fixtures; see models/ba_synth.py) through the
+    multifrontal path: landmark elimination is the bottom level of the
+    supernodal sweep — one batched kernel over all tracks (the Schur-
+    complement trick of geometry/CameraSet.h:175 expressed as elimination
+    order). Problem: n_cams cameras x n_pts points x obs observations each.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.inference import elimination
+    from gtsam_petercdev_tpu.models.ba_synth import make_synthetic_ba
+    from gtsam_petercdev_tpu.models.bundle_adjustment import build_ba_graph
+
+    data = make_synthetic_ba(n_cams, n_pts, obs, dtype=jnp.float32)
+    graph, values = build_ba_graph(data, dtype=jnp.float32)
+    graph._materialize()
+    lg = graph.linearize(values)
+    types = sorted(lg.type_counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    d = max(dims.values())
+    offs, off = {}, 0
+    for t in types:
+        offs[t] = off
+        off += lg.type_counts[t]
+    structure = [
+        elimination.BatchStructure(
+            tuple(dims[t] for t in lb.var_types),
+            tuple(
+                np.asarray(r, np.int64) + offs[t]
+                for r, t in zip(lb.rows, lb.var_types)
+            ),
+            lb.sign,
+        )
+        for lb in lg.batches
+    ]
+    var_dims = np.full(off, d, dtype=np.int64)
+    for t in types:
+        var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+    plan = elimination.build_plan_for_graph(
+        structure, off, d, max_buckets_per_level=4
+    )
+    maps = elimination.build_numeric_maps(plan, structure, var_dims=var_dims)
+
+    @jax.jit
+    def lm_iter(values_in):
+        lg2 = graph.linearize(values_in)
+        Ab = tuple((lb.A, lb.b) for lb in lg2.batches)
+        x = elimination._multifrontal_solve_impl(maps, Ab, 1e-4)
+        delta = {
+            t: x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]]
+            for t in types
+        }
+        return values_in.retract(delta)
+
+    out = lm_iter(values)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    times = []
+    for _ in range(3):
+        cur = values
+        t0 = _time.perf_counter()
+        for _ in range(4):
+            cur = lm_iter(cur)
+        jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+        times.append((_time.perf_counter() - t0) / 4)
+    return 1.0 / float(np.median(times))
 
 
 def _ba_iters_per_s():

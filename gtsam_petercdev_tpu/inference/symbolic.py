@@ -124,10 +124,28 @@ def nested_dissection_ordering(
     return perm
 
 
+def degree_ascending_ordering(n: int, edges: np.ndarray) -> np.ndarray:
+    """Eliminate low-degree variables first (stable). On bipartite SfM-style
+    graphs this is the landmarks-first ordering (each point's separator is
+    just its few cameras) — COLAMD via SuperLU degenerates badly there
+    (measured 1.7 TB symbolic fill on a 200-camera/10k-point problem vs
+    0.08 GB for degree-ascending)."""
+    deg = np.zeros(n, dtype=np.int64)
+    if len(edges):
+        np.add.at(deg, edges[:, 0], 1)
+        np.add.at(deg, edges[:, 1], 1)
+    return np.argsort(deg, kind="stable").astype(np.int64)
+
+
 def best_ordering(n: int, edges: np.ndarray) -> np.ndarray:
     """Pick the ordering with the least (padded) symbolic fill — the planner
-    is cheap relative to the numeric solve, so try both ND and COLAMD."""
-    candidates = [nested_dissection_ordering(n, edges), colamd_ordering(n, edges)]
+    is cheap relative to the numeric solve, so try ND, COLAMD, and
+    degree-ascending."""
+    candidates = [
+        nested_dissection_ordering(n, edges),
+        colamd_ordering(n, edges),
+        degree_ascending_ordering(n, edges),
+    ]
     best, best_cost = None, None
     for perm in candidates:
         plan = symbolic_eliminate(n, [edges], 1, ordering=perm)

@@ -103,8 +103,12 @@ def distributed_normal_equations(graph: NonlinearFactorGraph, values: Values, me
                 r_w, Js = graph._residual_and_jac(
                     _ShardBatch(batch.ftype, params, sqrt_info, batch.robust), xs
                 )
-                r_w = r_w * mask[:, None]
-                Js = tuple(Jk * mask[:, None, None] for Jk in Js)
+                # explicit accumulator dtype: scatter-adding f64 updates
+                # into an f32 H is a JAX FutureWarning (soon an error)
+                r_w = (r_w * mask[:, None]).astype(H.dtype)
+                Js = tuple(
+                    (Jk * mask[:, None, None]).astype(H.dtype) for Jk in Js
+                )
                 b = -r_w
                 gidx = []
                 for k, t in enumerate(batch.ftype.var_types):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gtsam_petercdev_tpu.geometry import cal3, pose3, triangulation
+from gtsam_petercdev_tpu.geometry import cal3, cameras, pose3, triangulation
 from gtsam_petercdev_tpu.geometry.pose3 import Pose3
 from gtsam_petercdev_tpu.linear import solve as linsolve
 from gtsam_petercdev_tpu.nonlinear import optimizers
@@ -67,6 +67,11 @@ class SmartProjectionFactorBatch:
     cal: jnp.ndarray
     params: SmartProjectionParams = field(default_factory=SmartProjectionParams)
     cal_rows: Optional[np.ndarray] = None
+    # stereo smart factor (gtsam_unstable/slam/SmartStereoProjectionFactor.h:55):
+    # measured [T, M, 3] = (uL, uR, v), cal rows [C, 6] = Cal3_S2Stereo
+    # (fx fy s u0 v0 baseline); the same Schur/implicit machinery applies
+    # with residual dim 3
+    stereo: bool = False
 
     def __post_init__(self):
         if np.asarray(self.cal).ndim == 1:
@@ -89,15 +94,19 @@ def from_tracks(
     params: Optional[SmartProjectionParams] = None,
     dtype=jnp.float64,
     cal_of_cam=None,
+    stereo: bool = False,
 ) -> SmartProjectionFactorBatch:
     """Build a batch from per-track (camera_row, uv) observation lists.
 
-    cal_of_cam: optional {camera_row: cal_row} for rig configurations."""
+    cal_of_cam: optional {camera_row: cal_row} for rig configurations.
+    stereo=True: observations are (uL, uR, v) and cal rows are
+    Cal3_S2Stereo [fx fy s u0 v0 b] (SmartStereoProjectionFactor)."""
     T = len(tracks)
     M = max(len(t) for t in tracks)
+    zdim = 3 if stereo else 2
     cam_rows = np.zeros((T, M), dtype=np.int32)
     mask = np.zeros((T, M), dtype=bool)
-    measured = np.zeros((T, M, 2))
+    measured = np.zeros((T, M, zdim))
     cal_rows = np.zeros((T, M), dtype=np.int32)
     for j, t in enumerate(tracks):
         for m, (ci, uv) in enumerate(t):
@@ -113,6 +122,7 @@ def from_tracks(
         jnp.asarray(cal, dtype=dtype),
         params or SmartProjectionParams(),
         cal_rows,
+        stereo=stereo,
     )
 
 
@@ -124,31 +134,46 @@ def _track_terms(batch: SmartProjectionFactorBatch, poses: Pose3):
     """
     sigma = batch.params.sigma
     tri_params = batch.params.triangulation
-    cals = batch.cal[jnp.asarray(batch.cal_rows)]  # [T, M, 5] per-view K
+    cals = batch.cal[jnp.asarray(batch.cal_rows)]  # [T, M, 5|6] per-view K
+    stereo = batch.stereo
 
     def one_track(pose_t: Pose3, uv, m, cal_t):
-        pn_meas = jax.vmap(cal3.cal3_s2_calibrate)(cal_t, uv)  # [M,2]
+        # triangulate from the left-camera rays (stereo: uL, v)
+        uv_mono = jnp.stack([uv[:, 0], uv[:, -1]], axis=1) if stereo else uv
+        pn_meas = jax.vmap(cal3.cal3_s2_calibrate)(cal_t[:, :5], uv_mono)
         res = triangulation.triangulate_safe(
             pose_t, pn_meas, m, tri_params, optimize=True
         )
         p = res.point
         valid = res.status == triangulation.VALID
 
-        def view_resid(xi, pose_1: Pose3, point):
-            pr = pose3.retract(pose_1, xi)
-            q = pose3.transform_to(pr, point)
-            z = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
-            pn = q[:2] / z
-            return pn
+        if stereo:
+
+            def view_resid(xi, pose_1: Pose3, point, cal_1):
+                pr = pose3.retract(pose_1, xi)
+                z3, _ = cameras.stereo_project(pr, point, cal_1)
+                return z3
+
+        else:
+
+            def view_resid(xi, pose_1: Pose3, point, cal_1):
+                pr = pose3.retract(pose_1, xi)
+                q = pose3.transform_to(pr, point)
+                z = jnp.where(jnp.abs(q[2]) < 1e-9, 1e-9, q[2])
+                return q[:2] / z
 
         def one_view(pose_1: Pose3, uv_1, cal_1):
             z6 = jnp.zeros((6,), dtype=uv.dtype)
-            pn = view_resid(z6, pose_1, p)
-            F1 = jax.jacfwd(view_resid, argnums=0)(z6, pose_1, p)  # [2,6]
-            E1 = jax.jacfwd(lambda pt: view_resid(z6, pose_1, pt))(p)  # [2,3]
-            b1 = cal3.cal3_s2_calibrate(cal_1, uv_1) - pn  # b = -residual
-            # whiten per view: normalized-coordinate noise = sigma / focal
-            f_eff = 0.5 * (cal_1[0] + cal_1[1])
+            pn = view_resid(z6, pose_1, p, cal_1)
+            F1 = jax.jacfwd(view_resid, argnums=0)(z6, pose_1, p, cal_1)
+            E1 = jax.jacfwd(lambda pt: view_resid(z6, pose_1, pt, cal_1))(p)
+            if stereo:
+                b1 = uv_1 - pn  # pixel-space residual
+                f_eff = jnp.ones((), dtype=uv.dtype)
+            else:
+                b1 = cal3.cal3_s2_calibrate(cal_1, uv_1) - pn
+                # whiten per view: normalized-coord noise = sigma / focal
+                f_eff = 0.5 * (cal_1[0] + cal_1[1])
             return F1, E1, b1, f_eff
 
         F, E, b, f_eff = jax.vmap(one_view)(pose_t, uv, cal_t)

@@ -2,12 +2,14 @@
 rotate, essential-matrix, oriented-plane, reference-frame, anti-factor,
 planar projection) — mirroring gtsam/slam/tests/*."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from gtsam_petercdev_tpu.geometry import essential as ess
 from gtsam_petercdev_tpu.geometry import pose2, pose3, so3
+from gtsam_petercdev_tpu.geometry.pose3 import Pose3
 from gtsam_petercdev_tpu.linear import noise, solve as linsolve
 from gtsam_petercdev_tpu.nonlinear import optimizers
 from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
@@ -230,3 +232,130 @@ class TestPlanarProjection:
         params2["measured"] = r0  # measurement = prediction -> zero residual
         r = ft.residual((jnp.asarray(wTb, dtype=F64),), params2)
         np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# gtsam_unstable factor breadth (rolling shutter, EM, inv-depth, smart stereo)
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_shutter_projection():
+    from gtsam_petercdev_tpu.slam import unstable_factors as uf
+    from gtsam_petercdev_tpu.geometry import cameras as cams
+
+    K = jnp.asarray([500.0, 500.0, 0.0, 320.0, 240.0])
+    pa = Pose3(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.0]))
+    pb = Pose3(jnp.eye(3), jnp.asarray([1.0, 0.0, 0.0]))
+    pt = jnp.asarray([0.3, -0.2, 4.0])
+    ft = uf.projection_factor_rolling_shutter()
+    # alpha endpoints reduce to plain projection at A and B
+    for alpha, pose in [(0.0, pa), (1.0, pb), (0.5, None)]:
+        r = ft.residual(
+            (pa, pb, pt), {"uv": jnp.zeros(2), "K": K, "alpha": jnp.asarray(alpha)}
+        )
+        if pose is not None:
+            uv_ref, _ = cams.project_s2(pose, pt, K)
+            np.testing.assert_allclose(np.asarray(r), np.asarray(uv_ref), atol=1e-9)
+    # interpolated pose is between the endpoints
+    mid = uf.interpolate_pose3(pa, pb, 0.5)
+    np.testing.assert_allclose(np.asarray(mid.t), [0.5, 0.0, 0.0], atol=1e-12)
+    # jacfwd oracle: residual differentiable and nonzero in all slots
+    J = jax.jacfwd(
+        lambda p: ft.residual((pa, Pose3(pb.R, p), pt),
+                              {"uv": jnp.zeros(2), "K": K, "alpha": jnp.asarray(0.7)})
+    )(pb.t)
+    assert np.abs(np.asarray(J)).max() > 1e-3
+
+
+def test_between_factor_em_inlier_outlier():
+    from gtsam_petercdev_tpu.slam import unstable_factors as uf
+
+    ft = uf.between_factor_em("Pose2")
+    x1 = jnp.zeros(3)
+    x2 = jnp.asarray([1.0, 0.0, 0.0])
+    params = {
+        "measured": jnp.asarray([1.0, 0.0, 0.0]),
+        "R_in": jnp.eye(3) / 0.1,   # tight inlier model
+        "R_out": jnp.eye(3) / 10.0,  # wide outlier model
+        "prior_in": jnp.asarray(0.5),
+        "prior_out": jnp.asarray(0.5),
+    }
+    # consistent measurement -> inlier branch dominates
+    r = np.asarray(ft.residual((x1, x2), params))
+    assert np.linalg.norm(r[:3]) < 1e-6 and np.linalg.norm(r[3:]) < 1e-6
+    # wildly inconsistent measurement -> outlier responsibility ~1, so the
+    # residual is dominated by the WIDE model (bounded influence)
+    params_bad = dict(params, measured=jnp.asarray([30.0, 0.0, 0.0]))
+    r2 = np.asarray(ft.residual((x1, x2), params_bad))
+    assert np.linalg.norm(r2[:3]) < 1e-10  # sqrt(p_in) ~ 0 kills inlier part
+    assert np.linalg.norm(r2[3:]) < 5.0   # whitened by sigma=10 outlier model
+
+
+def test_inv_depth_factor3_roundtrip():
+    from gtsam_petercdev_tpu.slam import unstable_factors as uf
+    from gtsam_petercdev_tpu.geometry import cameras as cams
+
+    K = jnp.asarray([500.0, 500.0, 0.0, 320.0, 240.0])
+    pose = Pose3(jnp.eye(3), jnp.asarray([0.2, -0.1, 0.0]))
+    uv = jnp.asarray([350.0, 230.0])
+    ray5, rho = uf.inv_depth_backproject(pose, K, uv, 5.0)
+    pt = uf.inv_depth_to_point(ray5, rho)
+    uv_back, depth = cams.project_s2(pose, pt, K)
+    np.testing.assert_allclose(np.asarray(uv_back), np.asarray(uv), atol=1e-8)
+    ft = uf.inv_depth_factor3()
+    r = ft.residual((pose, ray5, rho[None]), {"uv": uv, "K": K})
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-8)
+    # inverse depth is unobservable from the anchor view (zero parallax)...
+    J0 = jax.jacfwd(lambda q: ft.residual((pose, ray5, q), {"uv": uv, "K": K}))(
+        rho[None]
+    )
+    np.testing.assert_allclose(np.asarray(J0), 0.0, atol=1e-9)
+    # ...and observable from a translated view (jacfwd oracle)
+    pose2_ = Pose3(pose.R, pose.t + jnp.asarray([0.5, 0.0, 0.0]))
+    J = jax.jacfwd(
+        lambda q: ft.residual((pose2_, ray5, q), {"uv": uv, "K": K})
+    )(rho[None])
+    assert np.abs(np.asarray(J)).max() > 1e-3
+
+
+def test_smart_stereo_matches_explicit():
+    """Smart stereo (HESSIAN mode) equals the explicit stereo graph with
+    landmarks eliminated — same reduced camera system."""
+    from gtsam_petercdev_tpu.slam import smart
+    from gtsam_petercdev_tpu.geometry import cameras as cams
+
+    rng = np.random.default_rng(3)
+    Kst = jnp.asarray([500.0, 500.0, 0.0, 320.0, 240.0, 0.1])
+    n_cams, n_pts = 4, 6
+    poses = Pose3(
+        jnp.broadcast_to(jnp.eye(3), (n_cams, 3, 3)).copy(),
+        jnp.asarray(np.stack([np.linspace(0, 1.5, n_cams),
+                              np.zeros(n_cams), np.zeros(n_cams)], 1)),
+    )
+    pts = rng.uniform(-1, 1, (n_pts, 3)) + np.array([0.5, 0, 6.0])
+    tracks = []
+    for j in range(n_pts):
+        obs = []
+        for c in range(n_cams):
+            p1 = Pose3(poses.R[c], poses.t[c])
+            z3, _ = cams.stereo_project(p1, jnp.asarray(pts[j]), Kst)
+            obs.append((c, np.asarray(z3) + rng.normal(scale=0.1, size=3)))
+        tracks.append(obs)
+    batch = smart.from_tracks(tracks, Kst, stereo=True)
+    gathered = jax.tree_util.tree_map(
+        lambda a: a[jnp.asarray(batch.cam_rows)], poses
+    )
+    H, g, err = smart.assemble_camera_system(batch, gathered, n_cams)
+    assert np.isfinite(np.asarray(H)).all()
+    # one damped GN step on the reduced system decreases total error
+    D = n_cams * 6
+    x = np.linalg.solve(np.asarray(H) + 1e-6 * np.eye(D), np.asarray(g))
+    from gtsam_petercdev_tpu.geometry import pose3 as p3mod
+
+    new_poses = p3mod.retract(poses, jnp.asarray(x.reshape(n_cams, 6)))
+    g_new = jax.tree_util.tree_map(
+        lambda a: a[jnp.asarray(batch.cam_rows)], new_poses
+    )
+    e0 = float(smart.total_error(batch, gathered))
+    e1 = float(smart.total_error(batch, g_new))
+    assert e1 <= e0 + 1e-9
