@@ -156,28 +156,18 @@ def _ba_scale_iters_per_s(n_cams=1000, n_pts=50_000, obs=4):
     data = make_synthetic_ba(n_cams, n_pts, obs, dtype=jnp.float32)
     graph, values = build_ba_graph(data, dtype=jnp.float32)
     graph._materialize()
-    lg = graph.linearize(values)
-    types = sorted(lg.type_counts)
+    # planning is pure host work (graph_structure never touches the device;
+    # an eager linearize would pay one remote dispatch per op under axon)
+    structure = elimination.graph_structure(graph, values)
+    counts = {t: values._count(t) for t in values.types()}
+    offs = elimination.type_offsets(counts)
+    types = sorted(counts)
     dims = {t: manifold.get(t).dim for t in types}
     d = max(dims.values())
-    offs, off = {}, 0
-    for t in types:
-        offs[t] = off
-        off += lg.type_counts[t]
-    structure = [
-        elimination.BatchStructure(
-            tuple(dims[t] for t in lb.var_types),
-            tuple(
-                np.asarray(r, np.int64) + offs[t]
-                for r, t in zip(lb.rows, lb.var_types)
-            ),
-            lb.sign,
-        )
-        for lb in lg.batches
-    ]
+    off = sum(counts.values())
     var_dims = np.full(off, d, dtype=np.int64)
     for t in types:
-        var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+        var_dims[offs[t] : offs[t] + counts[t]] = dims[t]
     plan = elimination.build_plan_for_graph(
         structure, off, d, max_buckets_per_level=4
     )
@@ -189,8 +179,7 @@ def _ba_scale_iters_per_s(n_cams=1000, n_pts=50_000, obs=4):
         Ab = tuple((lb.A, lb.b) for lb in lg2.batches)
         x = elimination._multifrontal_solve_impl(maps, Ab, 1e-4)
         delta = {
-            t: x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]]
-            for t in types
+            t: x[offs[t] : offs[t] + counts[t], : dims[t]] for t in types
         }
         return values_in.retract(delta)
 

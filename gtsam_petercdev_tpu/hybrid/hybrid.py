@@ -134,6 +134,25 @@ class HybridGaussianFactorGraph:
         grids = [range(self.disc_cards[k]) for k in dkeys]
         return dkeys, list(itertools.product(*grids))
 
+    def _log_phi(self, asg_arr, dkeys):
+        """Discrete potentials + noise-model normalizers per assignment."""
+        M = asg_arr.shape[0]
+        log_phi = jnp.zeros((M,), dtype=jnp.float64)
+        idx_of = {k: i for i, k in enumerate(dkeys)}
+        for keys, table in self.discrete:
+            cols = [idx_of[k] for k in keys]
+            vals = table[tuple(jnp.asarray(asg_arr[:, c]) for c in cols)]
+            log_phi = log_phi + jnp.log(jnp.maximum(vals, 1e-300))
+        for t in self.gaussians:
+            if t.disc_keys:
+                cols = [idx_of[k] for k in t.disc_keys]
+                log_phi = log_phi + t.log_norm[
+                    tuple(jnp.asarray(asg_arr[:, c]) for c in cols)
+                ]
+            else:
+                log_phi = log_phi + t.log_norm
+        return log_phi
+
     def eliminate(self, assignments=None) -> "HybridBayesNet":
         """Hybrid elimination: vmapped dense Gaussian solve per assignment +
         discrete posterior from the CLG evidence.
@@ -192,21 +211,7 @@ class HybridGaussianFactorGraph:
             Es = jnp.zeros((M,))
             logdets = jnp.zeros((M,))
 
-        # discrete potentials + noise-model normalizers per assignment
-        log_phi = jnp.zeros((M,), dtype=jnp.float64)
-        idx_of = {k: i for i, k in enumerate(dkeys)}
-        for keys, table in self.discrete:
-            cols = [idx_of[k] for k in keys]
-            vals = table[tuple(jnp.asarray(asg_arr[:, c]) for c in cols)]
-            log_phi = log_phi + jnp.log(jnp.maximum(vals, 1e-300))
-        for t in self.gaussians:
-            if t.disc_keys:
-                cols = [idx_of[k] for k in t.disc_keys]
-                log_phi = log_phi + t.log_norm[
-                    tuple(jnp.asarray(asg_arr[:, c]) for c in cols)
-                ]
-            else:
-                log_phi = log_phi + t.log_norm
+        log_phi = self._log_phi(asg_arr, dkeys)
 
         # CLG evidence: log P(m) = log phi - E(m) - 0.5 log det H(m) + const
         logp = log_phi - Es - 0.5 * logdets
@@ -266,3 +271,124 @@ class HybridBayesNet:
             self.cont_dims,
             self.solutions[order],
         )
+
+
+# ---------------------------------------------------------------------------
+# sparse per-hypothesis elimination (Hybrid_City10000 scale)
+# ---------------------------------------------------------------------------
+
+
+def eliminate_sparse(
+    graph: HybridGaussianFactorGraph, assignments=None
+) -> "HybridBayesNet":
+    """Same posterior as graph.eliminate(), with each hypothesis's continuous
+    solve routed through the SPARSE multifrontal engine: all hypotheses share
+    one symbolic plan (identical structure, different theta) and run as a
+    vmapped batch (HybridGaussianFactorGraph.cpp:536-618's per-leaf
+    elimination, batched instead of walked). Use when the continuous
+    dimension outgrows the dense path (Hybrid_City10000-style problems)."""
+    from gtsam_petercdev_tpu.inference import elimination
+
+    off, D = graph._cont_offsets()
+    dkeys = sorted(graph.disc_cards.keys())
+    if assignments is None:
+        _, assignments = graph._assignments()
+        asg_arr = np.asarray(assignments, dtype=np.int64).reshape(
+            len(assignments), len(dkeys)
+        )
+    else:
+        asg_arr = np.asarray(assignments, dtype=np.int64)
+    M = asg_arr.shape[0]
+    idx_of = {k: i for i, k in enumerate(dkeys)}
+
+    ckeys = sorted(graph.cont_dims.keys())
+    gid_of = {k: i for i, k in enumerate(ckeys)}
+    n = len(ckeys)
+    d = max(graph.cont_dims.values())
+    var_dims = np.asarray([graph.cont_dims[k] for k in ckeys], dtype=np.int64)
+
+    # group terms by (cont dims, resid dim, disc cards) -> stacked batches
+    groups: Dict[Tuple, Dict] = {}
+    for t in graph.gaussians:
+        dims = tuple(graph.cont_dims[k] for k in t.cont_keys)
+        cards = tuple(graph.disc_cards[k] for k in t.disc_keys)
+        key = (dims, int(t.b.shape[-1]), cards)
+        g = groups.setdefault(
+            key, {"A": [], "b": [], "gids": [], "dcols": []}
+        )
+        if cards:
+            cflat = int(np.prod(cards))
+            g["A"].append(tuple(a.reshape((cflat,) + a.shape[-2:]) for a in t.A))
+            g["b"].append(t.b.reshape(cflat, -1))
+        else:
+            g["A"].append(tuple(t.A))
+            g["b"].append(t.b)
+        g["gids"].append([gid_of[k] for k in t.cont_keys])
+        g["dcols"].append([idx_of[k] for k in t.disc_keys])
+
+    structure, batches = [], []
+    for (dims, rd, cards), g in groups.items():
+        N = len(g["b"])
+        A = tuple(
+            jnp.stack([a[k] for a in g["A"]], axis=0) for k in range(len(dims))
+        )
+        b = jnp.stack(g["b"], axis=0)
+        gids = np.asarray(g["gids"], dtype=np.int64)  # [N, K]
+        structure.append(
+            elimination.BatchStructure(
+                dims, tuple(gids[:, k] for k in range(len(dims))), 1.0
+            )
+        )
+        strides = np.cumprod((cards + (1,))[::-1])[::-1][1:] if cards else None
+        dcols = np.asarray(g["dcols"], dtype=np.int64) if cards else None
+        batches.append((A, b, gids, dims, strides, dcols))
+
+    plan = elimination.build_plan_for_graph(structure, n, d)
+    maps = elimination.build_numeric_maps(plan, structure, var_dims=var_dims)
+
+    def solve_h(asg_row):
+        Ab = []
+        resid_terms = []
+        for (A, b, gids, dims, strides, dcols) in batches:
+            if strides is not None:
+                sel = jnp.zeros(gids.shape[0], dtype=jnp.int32)
+                for j in range(dcols.shape[1]):
+                    sel = sel + (
+                        asg_row[jnp.asarray(dcols[:, j])] * int(strides[j])
+                    ).astype(jnp.int32)
+                Asel = tuple(
+                    Ak[jnp.arange(gids.shape[0]), sel] for Ak in A
+                )
+                bsel = b[jnp.arange(gids.shape[0]), sel]
+            else:
+                Asel, bsel = A, b
+            Ab.append((Asel, bsel))
+            resid_terms.append((Asel, bsel, gids, dims))
+        x, stats = elimination._multifrontal_solve_impl(
+            maps, tuple(Ab), 1e-10, return_logdet=True
+        )
+        E = jnp.zeros((), jnp.float64)
+        for (Asel, bsel, gids, dims) in resid_terms:
+            r = bsel
+            for k in range(len(dims)):
+                xk = x[jnp.asarray(gids[:, k]), : dims[k]]
+                r = r - jnp.einsum("nrk,nk->nr", Asel[k], xk)
+            E = E + 0.5 * jnp.sum(r * r)
+        # flatten x into the dense offsets layout
+        xs = jnp.concatenate(
+            [x[gid_of[k], : graph.cont_dims[k]] for k in ckeys]
+        ) if ckeys else jnp.zeros((0,))
+        return xs, E, stats["logdet"]
+
+    xs, Es, logdets = jax.vmap(solve_h)(jnp.asarray(asg_arr))
+    log_phi = graph._log_phi(asg_arr, dkeys)
+    logp = log_phi - Es - 0.5 * logdets
+    logp = logp - jax.scipy.special.logsumexp(logp)
+    return HybridBayesNet(
+        disc_keys=tuple(dkeys),
+        assignments=asg_arr,
+        log_probs=np.asarray(logp),
+        cont_offsets=off,
+        cont_dims=dict(graph.cont_dims),
+        solutions=np.asarray(xs),
+    )

@@ -29,7 +29,11 @@ from gtsam_petercdev_tpu.hybrid.hybrid import (
 class HybridSmoother:
     """Incremental hybrid smoother with bounded hypothesis count."""
 
-    def __init__(self, max_leaves: int = 8):
+    def __init__(self, max_leaves: int = 8, dense_dim_limit: int = 96):
+        # beyond dense_dim_limit total continuous dims, each hypothesis's
+        # solve routes through the sparse multifrontal engine (shared
+        # symbolic plan, hypotheses vmapped — hybrid/hybrid.eliminate_sparse)
+        self.dense_dim_limit = int(dense_dim_limit)
         self.max_leaves = int(max_leaves)
         self.graph = HybridGaussianFactorGraph()
         self._hyp: Optional[np.ndarray] = None  # [K, n_disc] over sorted keys
@@ -57,24 +61,36 @@ class HybridSmoother:
             hyp = None  # first update: full grid over whatever exists
         else:
             # expand old hypotheses (over self._dkeys) with new keys' grids
+            # vectorized expansion: [K, G, n_disc] by broadcasting the
+            # kept hypotheses against the new keys' grid
             old_pos = {k: i for i, k in enumerate(self._dkeys)}
-            new_grid = list(
-                itertools.product(
-                    *[range(self.graph.disc_cards[k]) for k in new_keys]
-                )
-            ) or [()]
             new_pos = {k: i for i, k in enumerate(new_keys)}
-            rows = []
-            for h in self._hyp:
-                for g in new_grid:
-                    row = [
-                        h[old_pos[k]] if k in old_pos else g[new_pos[k]]
-                        for k in dkeys
-                    ]
-                    rows.append(row)
-            hyp = np.asarray(rows, dtype=np.int64).reshape(len(rows), len(dkeys))
+            grids = [
+                np.arange(self.graph.disc_cards[k], dtype=np.int64)
+                for k in new_keys
+            ]
+            if grids:
+                mesh = np.stack(
+                    np.meshgrid(*grids, indexing="ij"), axis=-1
+                ).reshape(-1, len(new_keys))
+            else:
+                mesh = np.zeros((1, 0), dtype=np.int64)
+            K, G = self._hyp.shape[0], mesh.shape[0]
+            hyp = np.empty((K, G, len(dkeys)), dtype=np.int64)
+            for j, k in enumerate(dkeys):
+                if k in old_pos:
+                    hyp[:, :, j] = self._hyp[:, old_pos[k]][:, None]
+                else:
+                    hyp[:, :, j] = mesh[:, new_pos[k]][None, :]
+            hyp = hyp.reshape(K * G, len(dkeys))
 
-        bn = self.graph.eliminate(assignments=hyp)
+        _, D = self.graph._cont_offsets()
+        if D > self.dense_dim_limit:
+            from gtsam_petercdev_tpu.hybrid.hybrid import eliminate_sparse
+
+            bn = eliminate_sparse(self.graph, assignments=hyp)
+        else:
+            bn = self.graph.eliminate(assignments=hyp)
         bn = bn.prune(self.max_leaves)
         self._hyp = bn.assignments
         self._dkeys = list(dkeys)

@@ -619,6 +619,7 @@ def _multifrontal_solve_impl(
     lam=0.0,
     diagonal_damping: bool = False,
     return_stats: bool = False,
+    return_logdet: bool = False,
 ):
     plan = maps.plan
     d = plan.d
@@ -635,6 +636,7 @@ def _multifrontal_solve_impl(
     # and no narrow-row gathers (ClusterTree-inst.h:219 extend-add analog)
     outs = []
     bad_total = jnp.zeros((), jnp.int32)
+    logdet = jnp.zeros((), dtype=dtype)
     eye_d = jnp.eye(d, dtype=dtype)
     for bi_, bm in enumerate(maps.buckets):
         B, nf, ns, mb = bm.B, bm.nf, bm.ns, bm.mb
@@ -683,6 +685,10 @@ def _multifrontal_solve_impl(
             else:
                 out = kernels.partial_cholesky(Fm, gm, nf, d)
         bad_total = bad_total + out["bad"]
+        if return_logdet:
+            # padded cliques/slots carry identity pivots -> log 1 = 0
+            dg = jnp.diagonal(out["L"], axis1=1, axis2=2)
+            logdet = logdet + 2.0 * jnp.sum(jnp.log(jnp.maximum(dg, 1e-300)))
         outs.append(out)
 
     # top-down back-substitution
@@ -703,8 +709,11 @@ def _multifrontal_solve_impl(
     # permuted rows -> global variable id order
     xp = x[:-1]
     xg = xp[jnp.asarray(plan.iperm)]
-    if return_stats:
-        return xg, {"bad_pivots": bad_total}
+    if return_stats or return_logdet:
+        stats = {"bad_pivots": bad_total}
+        if return_logdet:
+            stats["logdet"] = logdet
+        return xg, stats
     return xg
 
 

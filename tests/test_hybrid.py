@@ -155,3 +155,39 @@ def test_hybrid_gaussian_isam_alias():
     bn = isam.update(g)
     _, cont = bn.optimize()
     np.testing.assert_allclose(cont[0][0], 1.0, atol=1e-12)
+
+
+def test_eliminate_sparse_matches_dense():
+    """The sparse per-hypothesis multifrontal path reproduces the dense
+    CLG posterior and solutions on a conflicting-hypothesis chain."""
+    from gtsam_petercdev_tpu.hybrid.hybrid import (
+        HybridGaussianFactorGraph,
+        eliminate_sparse,
+    )
+
+    dim = 2
+    n = 6
+    g = HybridGaussianFactorGraph()
+    g.add_continuous([(0, dim)], (jnp.eye(dim),), jnp.zeros(dim))
+    # anchor the far end so the two step hypotheses CONFLICT
+    g.add_continuous(
+        [(n - 1, dim)], (jnp.eye(dim),), jnp.asarray([float(n - 1), 0.0])
+    )
+    for i in range(n - 1):
+        A = (-jnp.eye(dim), jnp.eye(dim))
+        if i == 2:
+            Ah = tuple(jnp.stack([a, a]) for a in A)
+            bh = jnp.stack([jnp.asarray([1.0, 0.0]), jnp.asarray([5.0, 0.0])])
+            g.add_hybrid([(i, dim), (i + 1, dim)], [(100, 2)], Ah, bh)
+        else:
+            g.add_continuous(
+                [(i, dim), (i + 1, dim)], A, jnp.asarray([1.0, 0.0])
+            )
+    g.add_discrete([(100, 2)], jnp.asarray([0.5, 0.5]))
+    bd = g.eliminate()
+    bs = eliminate_sparse(g)
+    np.testing.assert_allclose(bs.log_probs, bd.log_probs, atol=1e-6)
+    np.testing.assert_allclose(bs.solutions, bd.solutions, atol=1e-6)
+    # the consistent hypothesis must dominate
+    probs = np.exp(bs.log_probs)
+    assert probs[0] > 0.7  # odds ratio exp(dE) ~ 3.8 for this geometry
