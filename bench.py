@@ -108,13 +108,31 @@ def main():
     # reduced camera solve) on the BAL dubrovnik sequence — the north-star
     # "BA iterations/sec/chip" number (reference timing/timeSFMBAL*.cpp)
     extras = {}
+
+    def _budgeted(fn, seconds):
+        # extras must never sink the headline metric: hard per-metric budget
+        import signal
+
+        def _raise(sig, frame):
+            raise TimeoutError(f"extra exceeded {seconds}s budget")
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+        try:
+            return fn()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     try:
-        extras["ba_dubrovnik_lm_iters_per_s"] = round(_ba_iters_per_s(), 2)
+        extras["ba_dubrovnik_lm_iters_per_s"] = round(
+            _budgeted(_ba_iters_per_s, 240), 2
+        )
     except Exception as e:
         print(f"# BA bench failed: {e!r}", file=sys.stderr)
     try:
         extras["ba_synth_1000cam_50kpt_lm_iters_per_s"] = round(
-            _ba_scale_iters_per_s(), 3
+            _budgeted(_ba_scale_iters_per_s, 900), 3
         )
     except Exception as e:
         print(f"# BA-scale bench failed: {e!r}", file=sys.stderr)

@@ -76,6 +76,7 @@ def run_city10000(
     relinearize_skip: int = 1,
     dtype=jnp.float64,
     progress_every: int = 0,
+    partial_cb=None,  # called every progress interval with a CityResult
 ) -> CityResult:
     prior_sig = np.asarray(
         noise.diagonal_sigmas(np.asarray([1e-4, 1e-4, 1e-4]))
@@ -141,6 +142,15 @@ def run_city10000(
                 f"avg {avg:.1f} ms/step rss={rss_gb:.1f}GB",
                 flush=True,
             )
+            if partial_cb is not None:
+                est_p = isam.calculate_estimate()
+                rows_p = np.asarray(
+                    [isam.theta.row_of(i) for i in range(res.n_poses)],
+                    dtype=np.int64,
+                )
+                res.estimate = np.asarray(est_p.params("Pose2"))[rows_p]
+                res.total_time = time.perf_counter() - t_start
+                partial_cb(res)
     res.total_time = time.perf_counter() - t_start
     est = isam.calculate_estimate()
     rows = np.asarray(
@@ -192,47 +202,57 @@ if __name__ == "__main__":
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
 
+    gt = load_city_gt(args.gt)
+
+    def _summary(r):
+        st = np.asarray(r.step_times) * 1e3
+        return {
+            "poses": r.n_poses,
+            "loops": r.n_loop_closures,
+            "steps_done": len(r.step_times),
+            "total_s": round(r.total_time, 1),
+            "step_ms_mean": round(float(st.mean()), 2),
+            "step_ms_p50": round(float(np.percentile(st, 50)), 2),
+            "step_ms_p90": round(float(np.percentile(st, 90)), 2),
+            "step_ms_p99": round(float(np.percentile(st, 99)), 2),
+            "step_ms_max": round(float(st.max()), 1),
+            "ate_rmse_m": round(r.ate_rmse(gt), 4),
+            "segments_1k": [
+                {
+                    "steps": f"{s0}-{min(s0 + 1000, len(st))}",
+                    "mean_ms": round(float(seg.mean()), 2),
+                    "p50_ms": round(float(np.percentile(seg, 50)), 2),
+                    "p99_ms": round(float(np.percentile(seg, 99)), 2),
+                    "sum_s": round(float(seg.sum() / 1e3), 1),
+                }
+                for s0 in range(0, len(st), 1000)
+                for seg in [st[s0 : s0 + 1000]]
+            ],
+        }
+
+    def _dump(r):
+        if not args.out:
+            return
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(_summary(r), f)
+            f.write("\n")
+        np.savetxt(args.out + ".traj.txt", r.estimate, fmt="%.6f")
+
     r = run_city10000(
         args.data,
         max_steps=args.steps,
         wildfire_threshold=args.wildfire,
         dtype=jnp.float32 if args.f32 else jnp.float64,
         progress_every=args.progress,
+        partial_cb=_dump if args.out else None,
     )
-    gt = load_city_gt(args.gt)
     st = np.asarray(r.step_times) * 1e3
-    summary = {
-        "poses": r.n_poses,
-        "loops": r.n_loop_closures,
-        "total_s": round(r.total_time, 1),
-        "step_ms_mean": round(float(st.mean()), 2),
-        "step_ms_p50": round(float(np.percentile(st, 50)), 2),
-        "step_ms_p90": round(float(np.percentile(st, 90)), 2),
-        "step_ms_p99": round(float(np.percentile(st, 99)), 2),
-        "step_ms_max": round(float(st.max()), 1),
-        "ate_rmse_m": round(r.ate_rmse(gt), 4),
-        "segments_1k": [
-            {
-                "steps": f"{s0}-{min(s0 + 1000, len(st))}",
-                "mean_ms": round(float(seg.mean()), 2),
-                "p50_ms": round(float(np.percentile(seg, 50)), 2),
-                "p99_ms": round(float(np.percentile(seg, 99)), 2),
-                "sum_s": round(float(seg.sum() / 1e3), 1),
-            }
-            for s0 in range(0, len(st), 1000)
-            for seg in [st[s0 : s0 + 1000]]
-        ],
-    }
     print(
         f"poses={r.n_poses} loops={r.n_loop_closures} total={r.total_time:.1f}s "
         f"step ms: mean={st.mean():.1f} p50={np.percentile(st,50):.1f} "
         f"p99={np.percentile(st,99):.1f} max={st.max():.1f} "
         f"ATE-RMSE={r.ate_rmse(gt):.4f} m"
     )
-    if args.out:
-        import json
-
-        with open(args.out, "w") as f:
-            json.dump(summary, f)
-            f.write("\n")
-        np.savetxt(args.out + ".traj.txt", r.estimate, fmt="%.6f")
+    _dump(r)
