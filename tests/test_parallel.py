@@ -47,3 +47,41 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_partitioned_solver_in_lm_matches_dense():
+    """solver="partitioned" as a first-class LM linear solver (lambda retry
+    included) reaches the dense LM optimum exactly."""
+    from gtsam_petercdev_tpu.linear import noise
+    from gtsam_petercdev_tpu.nonlinear import optimizers
+    from gtsam_petercdev_tpu.nonlinear.factor_graph import NonlinearFactorGraph
+    from gtsam_petercdev_tpu.nonlinear.values import Values
+    from gtsam_petercdev_tpu.slam.factors import between_factor, prior_factor
+    from gtsam_petercdev_tpu.geometry import pose2
+
+    rng = np.random.default_rng(5)
+    n = 20
+    g = NonlinearFactorGraph()
+    v = Values()
+    sig = noise.isotropic(3, 0.05, jnp.float64)
+    v.insert(0, "Pose2", jnp.zeros(3))
+    g.add(prior_factor("Pose2"), [0], jnp.zeros(3),
+          noise.isotropic(3, 0.01, jnp.float64))
+    for i in range(n - 1):
+        odo = jnp.asarray([1.0, 0.0, 0.3])
+        v.insert(i + 1, "Pose2",
+                 pose2.compose(v.at(i), odo + rng.normal(size=3) * 0.05))
+        g.add(between_factor("Pose2"), [i, i + 1], odo, sig)
+    g.add(between_factor("Pose2"), [0, n - 1],
+          pose2.between(v.at(0), v.at(n - 1)), sig)
+
+    r_dense = optimizers.levenberg_marquardt(
+        g, v, optimizers.LMParams(max_iterations=15)
+    )
+    r_part = optimizers.levenberg_marquardt(
+        g, v,
+        optimizers.LMParams(
+            max_iterations=15, solver="partitioned", partition_devices=4
+        ),
+    )
+    assert abs(float(r_dense.error) - float(r_part.error)) < 1e-8
