@@ -241,3 +241,35 @@ def pcg_solve(
 
     x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
     return x
+
+
+def pcg(A, g, Minv, tol: float = 1e-8, max_iters: int = 500):
+    """Generic preconditioned CG over VectorValues pytrees.
+
+    A: v -> Av (matrix-free operator), g: right-hand side, Minv: r -> M^-1 r
+    (e.g. the spanning-tree exact solve of SubgraphSolver). Returns x with
+    A x ~= g. The iterative core of PCGSolver (gtsam/linear/PCGSolver.h)
+    with a pluggable Preconditioner."""
+
+    def dot(a, b):
+        return sum(jnp.vdot(a[t], b[t]) for t in a)
+
+    x = {t: jnp.zeros_like(v) for t, v in g.items()}
+    r = g
+    z = Minv(r)
+    p = z
+    rz = dot(r, z)
+    g_norm2 = dot(g, g)
+    it = 0
+    while it < max_iters and float(dot(r, r)) > tol * tol * float(g_norm2):
+        Ap = A(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = {t: x[t] + alpha * p[t] for t in x}
+        r = {t: r[t] - alpha * Ap[t] for t in r}
+        z = Minv(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = {t: z[t] + beta * p[t] for t in p}
+        rz = rz_new
+        it += 1
+    return x

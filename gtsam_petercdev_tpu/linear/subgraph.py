@@ -144,10 +144,16 @@ class SubgraphSolver:
         n = lg.type_counts[self.t]
         masks = build_subgraph(lg, params)
         struct, self.tree_Ab = _masked_subgraph_arrays(lg, masks)
-        plan = elimination.build_plan_for_graph(
-            [(rows, t) for rows, t in struct], n, self.d
-        )
-        self.maps = elimination.build_numeric_maps(plan, [(("x",) * len(r), r) for r, _ in struct])
+        bstruct = [
+            elimination.BatchStructure(
+                (self.d,) * len(rows),
+                tuple(np.asarray(r, np.int64) for r in rows),
+                1.0,
+            )
+            for rows, _ in struct
+        ]
+        plan = elimination.build_plan_for_graph(bstruct, n, self.d)
+        self.maps = elimination.build_numeric_maps(plan, bstruct)
 
     def solve(self, lam=0.0, tol: float = 1e-8, max_iters: int = 500):
         chol = elimination.multifrontal_factor(self.maps, self.tree_Ab, lam)

@@ -111,3 +111,22 @@ def test_constrained_ordering():
     perm = symbolic.constrained_colamd_ordering(4, edges, np.array([1]))
     assert perm[-1] == 1
     assert sorted(perm.tolist()) == [0, 1, 2, 3]
+
+
+def test_subgraph_solver_matches_dense():
+    """SubgraphSolver (tree-preconditioned PCG over multifrontal_factor /
+    multifrontal_apply) reaches the damped dense solution."""
+    import __graft_entry__ as ge
+    from gtsam_petercdev_tpu.linear import subgraph
+    from gtsam_petercdev_tpu.linear import solve as linsolve
+
+    g, v = ge._toy_pose3_problem(n_poses=12, dtype=jnp.float64)
+    lg = g.linearize(v)
+    sol = subgraph.SubgraphSolver(lg)
+    x = sol.solve(lam=1e-6)
+    H, gg = linsolve.assemble_dense(lg)
+    x_ref = np.linalg.solve(
+        np.asarray(H) + 1e-6 * np.eye(H.shape[0]), np.asarray(gg)
+    )
+    xf = np.concatenate([np.asarray(x[t]).reshape(-1) for t in sorted(x)])
+    np.testing.assert_allclose(xf, x_ref, atol=1e-8)
