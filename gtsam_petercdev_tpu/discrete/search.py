@@ -1,22 +1,18 @@
-"""DiscreteSearch: k-best assignments of a discrete factor graph.
+"""DiscreteSearch: exact k-best assignments of a discrete factor graph.
 
-Reference: gtsam/discrete/DiscreteSearch.{h,cpp} — best-first search over the
-elimination order returning the K most-probable-explanations. Here the search
-is a BEAM over variables in elimination order, expanding each partial
-assignment with every value of the next variable and keeping the `beam` best
-upper-bounded partials (bound: product of each remaining factor's max over
-unassigned vars, an admissible heuristic).
-
-NOTE on exactness: unlike the reference's best-first search, a finite beam
-may prune the true optimum — results are exact only when `beam` is at least
-the number of surviving partials at every level (guaranteed when
-beam >= prod(cards)); otherwise this is an approximate anytime search.
-Callers needing guaranteed-exact K-best should raise `beam` (the default
-test configs use exhaustive beams).
+Reference: gtsam/discrete/DiscreteSearch.{h,cpp} — best-first search over
+the elimination order returning the K most-probable explanations. The
+heuristic for a partial assignment is the product of each factor's maximum
+over its unassigned variables (restricted to the assigned ones) — an
+admissible, monotone bound, so the A* emission order is exactly the true
+descending probability order and the first K complete assignments are the
+exact K best.
 """
 
 from __future__ import annotations
 
+import heapq
+import itertools
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -35,14 +31,17 @@ def k_best(
     graph: DiscreteFactorGraph,
     K: int,
     ordering: Optional[Sequence[int]] = None,
-    beam: int = 0,
+    max_expansions: int = 1_000_000,
 ) -> List[SearchSolution]:
-    """Return K best assignments, best first (DiscreteSearch::run)."""
+    """Return the exact K best assignments, best first (DiscreteSearch::run).
+
+    Best-first over partial assignments in elimination order with the
+    admissible per-factor max-completion bound; raises if the search
+    frontier exceeds `max_expansions` node expansions (the reference's
+    search is likewise exponential in the worst case).
+    """
     keys = list(ordering) if ordering is not None else graph.all_keys()
     factors = [(f.keys, np.asarray(f.table)) for f in graph.factors]
-    # admissible per-factor upper bound given a partial assignment: max over
-    # the unassigned axes of the factor restricted to the assigned ones
-    beam = beam if beam > 0 else max(64, 8 * K)
 
     def bound(partial: Dict[int, int]) -> float:
         b = 1.0
@@ -54,17 +53,27 @@ def k_best(
             b *= float(np.max(sub)) if getattr(sub, "ndim", 0) else float(sub)
         return b
 
-    frontier: List[Tuple[float, Dict[int, int]]] = [(bound({}), {})]
-    for var in keys:
-        card = graph.cards[var]
-        nxt: List[Tuple[float, Dict[int, int]]] = []
-        for _, partial in frontier:
-            for v in range(card):
-                p2 = dict(partial)
-                p2[var] = v
-                nxt.append((bound(p2), p2))
-        nxt.sort(key=lambda x: -x[0])
-        frontier = nxt[: max(beam, K)]
-    # fully assigned: bound == exact value
-    out = [SearchSolution(p, b) for b, p in frontier[:K]]
+    # heap of (-bound, tiebreak, depth, partial); depth == len(keys) is a
+    # complete assignment whose bound IS its exact value
+    counter = itertools.count()
+    heap: List[Tuple[float, int, int, Dict[int, int]]] = [
+        (-bound({}), next(counter), 0, {})
+    ]
+    out: List[SearchSolution] = []
+    expansions = 0
+    while heap and len(out) < K:
+        negb, _, depth, partial = heapq.heappop(heap)
+        if depth == len(keys):
+            out.append(SearchSolution(partial, -negb))
+            continue
+        expansions += 1
+        if expansions > max_expansions:
+            raise RuntimeError(
+                f"DiscreteSearch exceeded {max_expansions} expansions"
+            )
+        var = keys[depth]
+        for v in range(graph.cards[var]):
+            p2 = dict(partial)
+            p2[var] = v
+            heapq.heappush(heap, (-bound(p2), next(counter), depth + 1, p2))
     return out

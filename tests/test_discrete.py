@@ -97,3 +97,34 @@ def test_signature_table():
     np.testing.assert_allclose(t[0, 0], 0.8)
     np.testing.assert_allclose(t[0, 1], 0.2)
     np.testing.assert_allclose(t.sum(axis=0), [1.0, 1.0])
+
+
+def test_k_best_exact_vs_brute_force():
+    """Best-first DiscreteSearch is EXACT: K best assignments equal the
+    brute-force enumeration in order (DiscreteSearch.cpp semantics)."""
+    import itertools
+
+    from gtsam_petercdev_tpu.discrete.search import k_best
+
+    rng = np.random.default_rng(0)
+    g = DiscreteFactorGraph()
+    cards = [2, 3, 2, 3, 2, 2]
+    for i in range(6):
+        g.add([(i, cards[i])], rng.uniform(0.1, 1.0, cards[i]))
+    for (a, b) in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 5)]:
+        g.add(
+            [(a, cards[a]), (b, cards[b])],
+            rng.uniform(0.1, 1.0, (cards[a], cards[b])),
+        )
+    sols = k_best(g, 10)
+    best = []
+    for asg in itertools.product(*[range(c) for c in cards]):
+        d = dict(enumerate(asg))
+        v = 1.0
+        for f in g.factors:
+            v *= f.value(d)
+        best.append((v, d))
+    best.sort(key=lambda x: -x[0])
+    for i in range(10):
+        assert abs(sols[i].value - best[i][0]) < 1e-12
+        assert sols[i].assignment == best[i][1]
