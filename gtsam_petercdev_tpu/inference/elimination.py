@@ -598,9 +598,13 @@ def _use_pallas() -> bool:
     """Pallas elimination kernels (opt-in: GTSAM_TPU_PALLAS=1 on TPU).
 
     Kernel-level parity with the XLA path is validated (ops/cholesky.py
-    tests); measured end-to-end the XLA path is currently on par, with the
-    step time dominated by the block-pool re-layout + extend-add scatters
-    rather than the factorization itself — see PROFILE_r03.md."""
+    tests). Round-4 end-to-end measurement (PROFILE_r04.md): the current
+    per-clique-GRID kernel is SLOWER than the XLA path (50 vs 42 ms at
+    mbpl=2) because grid programs serialize the cliques that the XLA
+    fori_loop batches; it stays opt-in. The planned v2 is one program per
+    BUCKET with the batch axis kept inside VMEM (batched column loop like
+    kernels.py, Mosaic-fused), which removes the ~12 ms of per-HLO overhead
+    that now dominates the 21 ms step."""
     import os
 
     if os.environ.get("GTSAM_TPU_PALLAS", "0") != "1":
