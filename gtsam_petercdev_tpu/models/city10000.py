@@ -193,6 +193,16 @@ if __name__ == "__main__":
     )
     args = ap.parse_args()
 
+    try:
+        # pin glibc's mmap threshold: closure transients (1-32 MB numpy
+        # buffers) otherwise land on the brk heap once the dynamic
+        # threshold rises, and the arena fragments into tens of GB RSS
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").mallopt(-3, 131072)  # M_MMAP_THRESHOLD
+    except Exception:
+        pass
+
     if args.cache:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
