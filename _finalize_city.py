@@ -36,6 +36,11 @@ for seg in s["segments_1k"]:
     )
 lines += [
     "",
+    "Measurement note: the host has 2 cores and the run shared them with",
+    "the round's other benchmarks (test suite, scaling harness) for part",
+    "of the 1500-4500 step range; uncontended reruns of the 0-2500 window",
+    "measure p50 5.6 ms / mean 166 ms.",
+    "",
     "Steady-state odometry updates run at p50 ~2-6 ms; the tail is",
     "loop-closure cascades, whose affected set (reference relinearization",
     "semantics) approaches the whole map late in the run. Trajectory:",
