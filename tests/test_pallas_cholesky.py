@@ -79,3 +79,28 @@ def test_clamped_pivot_counting(rng):
     ref = kernels.partial_cholesky(jnp.asarray(Fm), gm, nf, d)
     got = pch.partial_cholesky(jnp.asarray(Fm), gm, nf, d, interpret=True)
     assert int(got["bad"]) == int(ref["bad"]) >= 1
+
+
+def test_v2_bucket_kernel_interpret_parity():
+    """v2 (whole-bucket, batch-in-VMEM) kernel matches the XLA reference in
+    interpret mode across shapes incl. ns=0 leaves. Mosaic lowering through
+    the remote compile tunnel is a round-5 item (PROFILE_r04.md)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gtsam_petercdev_tpu.inference import kernels
+    from gtsam_petercdev_tpu.ops import cholesky_v2
+
+    rng = np.random.default_rng(1)
+    for (B, nf, ns, d) in [(5, 2, 4, 6), (3, 12, 16, 6), (2, 4, 0, 3)]:
+        m = (nf + ns) * d
+        A = rng.standard_normal((B, m, m)).astype(np.float32)
+        Fm = jnp.asarray(A @ A.transpose(0, 2, 1) + m * np.eye(m, dtype=np.float32))
+        gm = jnp.asarray(rng.standard_normal((B, m)).astype(np.float32))
+        ov = cholesky_v2.partial_cholesky(Fm, gm, nf, d, interpret=True)
+        oj = kernels.partial_cholesky(Fm, gm, nf, d)
+        for k in ["L", "Linv", "W", "y", "U", "ug"]:
+            if oj[k].size:
+                np.testing.assert_allclose(
+                    np.asarray(ov[k]), np.asarray(oj[k]), atol=2e-4
+                )
