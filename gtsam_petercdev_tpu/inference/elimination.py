@@ -595,19 +595,20 @@ def _pull_ext(pool_slice, U_pool, ext_pull):
 
 
 def _use_pallas() -> bool:
-    """Pallas elimination kernels (opt-in: GTSAM_TPU_PALLAS=1 on TPU).
+    """Pallas v2 elimination kernel: DEFAULT on TPU (GTSAM_TPU_PALLAS=0
+    opts out).
 
-    Kernel-level parity with the XLA path is validated (ops/cholesky.py
-    tests). Round-4 end-to-end measurement (PROFILE_r04.md): the current
-    per-clique-GRID kernel is SLOWER than the XLA path (50 vs 42 ms at
-    mbpl=2) because grid programs serialize the cliques that the XLA
-    fori_loop batches; it stays opt-in. The planned v2 is one program per
-    BUCKET with the batch axis kept inside VMEM (batched column loop like
-    kernels.py, Mosaic-fused), which removes the ~12 ms of per-HLO overhead
-    that now dominates the 21 ms step."""
+    v2 (ops/cholesky_v2.py) runs each level bucket as a batch-chunked
+    Mosaic grid — the whole chunk of cliques lives in VMEM and the block
+    column loop is fused into one program, replacing the ~30 dependent
+    1-5 µs HLOs per column that dominated the r4 profile (PROFILE_r04.md).
+    The r3/r4 v1 kernel (one grid program per clique, ops/cholesky.py)
+    measured slower than XLA and is retired. Buckets whose single-clique
+    VMEM working set exceeds the budget fall back to the XLA kernel."""
     import os
 
-    if os.environ.get("GTSAM_TPU_PALLAS", "0") != "1":
+    env = os.environ.get("GTSAM_TPU_PALLAS", "1")
+    if env == "0":
         return False
     try:
         import jax
@@ -632,6 +633,8 @@ def _multifrontal_solve_impl(
     with jax.named_scope("assemble"):
         pool, gp = assemble(maps, Ab, lam, diagonal_damping)
     use_pallas = _use_pallas()
+    if use_pallas:
+        from gtsam_petercdev_tpu.ops import cholesky_v2 as pallas_bs
 
     # bottom-up: per bucket one batched partial Cholesky; each bucket pulls
     # its children's Schur contributions by projecting the child U matrices
@@ -681,11 +684,17 @@ def _multifrontal_solve_impl(
                 )
         with jax.named_scope(f"chol{bi_}_B{B}nf{nf}ns{ns}"):
             if use_pallas:
-                # fused per-clique factorization (ops/cholesky.py): one Mosaic
-                # program instead of ~8 dependent HLO micro-ops per block column
-                from gtsam_petercdev_tpu.ops import cholesky as pallas_chol
+                from gtsam_petercdev_tpu.ops import cholesky_v2 as pallas_chol
 
-                out = pallas_chol.partial_cholesky(Fm, gm, nf, d)
+                if pallas_chol.fits_vmem(
+                    B, nf, ns, d, jnp.dtype(dtype).itemsize
+                ):
+                    # whole-bucket Mosaic program(s): batch chunk in VMEM,
+                    # fused block-column loop (replaces the fori_loop HLO
+                    # chain of kernels.partial_cholesky)
+                    out = pallas_chol.partial_cholesky(Fm, gm, nf, d)
+                else:
+                    out = kernels.partial_cholesky(Fm, gm, nf, d)
             else:
                 out = kernels.partial_cholesky(Fm, gm, nf, d)
         bad_total = bad_total + out["bad"]
@@ -700,12 +709,24 @@ def _multifrontal_solve_impl(
         x = jnp.zeros((plan.n + 1, d), dtype=dtype)
         for bm, out in zip(reversed(maps.buckets), reversed(outs)):
             B, nf, ns = bm.B, bm.nf, bm.ns
-            if ns > 0:
-                xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
-                rhs = out["y"] - _einsum("bfs,bs->bf", out["W"], xs)
+            if use_pallas and pallas_bs.backsolve_fits(
+                B, nf, ns, d, jnp.dtype(dtype).itemsize
+            ):
+                # fused separator-subtract + blocked backsolve in VMEM
+                if ns > 0:
+                    xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
+                else:
+                    xs = jnp.zeros((B, 0), dtype=dtype)
+                xf = pallas_bs.backsolve_bucket(
+                    out["L"], out["Linv"], out["W"], out["y"], xs, nf, d
+                )
             else:
-                rhs = out["y"]
-            xf = kernels.backsolve_bucket(out["L"], out["Linv"], rhs, nf, d)
+                if ns > 0:
+                    xs = x[jnp.asarray(bm.sep_idx)].reshape(B, ns * d)
+                    rhs = out["y"] - _einsum("bfs,bs->bf", out["W"], xs)
+                else:
+                    rhs = out["y"]
+                xf = kernels.backsolve_bucket(out["L"], out["Linv"], rhs, nf, d)
             x = x.at[jnp.asarray(bm.fro_idx.reshape(-1))].set(
                 xf.reshape(B * nf, d)
             )

@@ -429,6 +429,17 @@ class _LocalPlan:
     n_grows: int = 0
     lvl_offsets: Tuple = ()  # per real level (boff, goff)
 
+    @property
+    def nbytes(self) -> int:
+        tot = self.eye_rows_dev.nbytes + self.eye_vals_dev.nbytes
+        for (_, _, _, blk, gix, own) in self.fac:
+            tot += blk.nbytes + gix.nbytes + own.nbytes
+        for (_, _, _, _, blk, gix, _, own) in self.msg:
+            tot += blk.nbytes + gix.nbytes + own.nbytes
+        for (e, eg) in self.ext_dev:
+            tot += e.nbytes + eg.nbytes
+        return tot
+
 
 # --- per-piece jits: compile granularity is a LEVEL SHAPE or a GROUP
 # shape, never a whole plan, so loop-closure plans of any size reuse small
@@ -563,6 +574,14 @@ class IncrementalEngine:
             self.x = jnp.zeros((self.xcap + 1, d), dtype=dtype)
         self.pools: Dict[Tuple[int, int], PoolClass] = {}
         self.msg_pools: Dict[int, PoolClass] = {}  # persistent marginals
+        # numpy backend: NO pools — exact per-clique payload arrays keyed by
+        # cid (freed with the clique). Shape-class pools exist to stabilize
+        # jit signatures; eagerly-executing numpy gains nothing from them and
+        # the unbounded variety of loop-closure (nf, ns) classes made pooled
+        # capacity retention grow superlinearly (the round-4 City10000 OOM:
+        # 2,700+ classes holding 85 GB for <1k live cliques).
+        self.payloads: Dict[int, PoolArrays] = {}
+        self.msg_payloads: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self.cliques: List[Optional[CliqueRec]] = []
         self.var_clique: Dict[int, int] = {}  # gid -> cid (frontal owner)
         self.groups: List[FactorGroup] = []
@@ -581,6 +600,8 @@ class IncrementalEngine:
         # uploads are skipped)
         self._plan_cache: "OrderedDict[Tuple, _LocalPlan]" = OrderedDict()
         self._plan_cache_cap = 128
+        self._plan_cache_bytes = 0
+        self._plan_cache_byte_cap = 64 * 2**20  # index maps; LRU-evicted
         # engine-global scratch-pool capacities (monotone, x4 growth): the
         # assembly/level kernels' jit signatures include these, so keeping
         # them global bounds the number of distinct compiled executables
@@ -837,16 +858,18 @@ class IncrementalEngine:
             lids = lid_arr[fg.keys[rows]]
             fac_entries.append((g, rows, lids))
             sig_parts.append((g, lids.shape[0], lids.tobytes()))
-        msg_entries = []  # (src, pool_key, row, scope_lids)
+        # (src, pool_key, ref, scope_lids); ref is the pool ROW for the jax
+        # backend, the cid/mid payload key for numpy
+        msg_entries = []
         for cid in orphan_cids:
             c = self.cliques[cid]
             sc = lid_arr[np.asarray(c.separator, dtype=np.int64)]
-            msg_entries.append(("clq", c.cls, c.row, sc))
+            msg_entries.append(("clq", c.cls, cid if self._np else c.row, sc))
             sig_parts.append(("clq", c.cls, sc.tobytes()))
         for mid in msg_ids:
             mr = self.msgs[mid]
             sc = lid_arr[np.asarray(mr.scope, dtype=np.int64)]
-            msg_entries.append(("msg", mr.ns, mr.row, sc))
+            msg_entries.append(("msg", mr.ns, mid if self._np else mr.row, sc))
             sig_parts.append(("msg", mr.ns, sc.tobytes()))
         first_l = frozenset(
             int(lid_arr[g]) for g in first if lid_arr[g] >= 0
@@ -862,8 +885,13 @@ class IncrementalEngine:
             plan = self._build_plan(lva, fac_entries, msg_entries, first_l, last_l)
             if m <= 512:  # closure cascades don't repeat structurally
                 self._plan_cache[sig] = plan
-                if len(self._plan_cache) > self._plan_cache_cap:
-                    self._plan_cache.popitem(last=False)
+                self._plan_cache_bytes += plan.nbytes
+                while self._plan_cache and (
+                    len(self._plan_cache) > self._plan_cache_cap
+                    or self._plan_cache_bytes > self._plan_cache_byte_cap
+                ):
+                    _, old = self._plan_cache.popitem(last=False)
+                    self._plan_cache_bytes -= old.nbytes
         else:
             self._plan_cache.move_to_end(sig)
 
@@ -925,10 +953,12 @@ class IncrementalEngine:
                     (g, int(rows[i]))
                 )
         for (src, pkey, nsc, Mp, blk_dev, gix_dev, order, own_lcid) in plan.msg:
-            pc = self.pools[pkey] if src == "clq" else self.msg_pools[pkey]
-            rows_p = np.full(Mp, pc.cap, dtype=np.int32)
+            if not self._np:
+                pc = self.pools[pkey] if src == "clq" else self.msg_pools[pkey]
+                rows_p = np.full(Mp, pc.cap, dtype=np.int32)
             for mi, ei in enumerate(order):
-                rows_p[mi] = msg_entries[ei][2]
+                if not self._np:
+                    rows_p[mi] = msg_entries[ei][2]
                 if src == "msg":
                     own_msg.setdefault(int(own_lcid[mi]), []).append(
                         msg_ids[ei - len(orphan_cids)]
@@ -937,9 +967,16 @@ class IncrementalEngine:
                     orphan_owner[ei] = int(own_lcid[mi])
             if self._np:
                 M = len(order)
-                sel = rows_p[:M]
-                U = pc.arrays.U[sel]
-                ug = pc.arrays.ug[sel]
+                if src == "clq":
+                    pays = [self.payloads[msg_entries[ei][2]] for ei in order]
+                    U = np.stack([p.U for p in pays])
+                    ug = np.stack([p.ug for p in pays])
+                else:
+                    mpays = [
+                        self.msg_payloads[msg_entries[ei][2]] for ei in order
+                    ]
+                    U = np.stack([u for (u, _) in mpays])
+                    ug = np.stack([g_ for (_, g_) in mpays])
                 Ub = (
                     U.reshape(M, nsc, d, nsc, d)
                     .transpose(0, 1, 3, 2, 4)
@@ -1009,7 +1046,10 @@ class IncrementalEngine:
         for cid in dead:
             c = self.cliques[cid]
             c.alive = False
-            self.pools[c.cls].free.append(c.row)
+            if self._np:
+                self.payloads.pop(cid, None)
+            else:
+                self.pools[c.cls].free.append(c.row)
             self.cliques[cid] = None
         self.n_live -= len(dead)
 
@@ -1018,22 +1058,28 @@ class IncrementalEngine:
         local2global: Dict[int, int] = {}
         for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
             cls = (nf, ns)
-            pc = self.pools.get(cls)
-            if pc is None:
-                pc = PoolClass(
-                    nf, ns, 0, _make_pool(nf, ns, d, 0, self.dtype, self._np)
-                )
-                self.pools[cls] = pc
+            if self._np:
+                pc = None
+            else:
+                pc = self.pools.get(cls)
+                if pc is None:
+                    pc = PoolClass(
+                        nf, ns, 0, _make_pool(nf, ns, d, 0, self.dtype, False)
+                    )
+                    self.pools[cls] = pc
             rows_np = np.full(Bp, 0, dtype=np.int32)
             lv_cids = []
             for i, (pcid, fro_lv, sep_lv, par) in enumerate(clqs):
-                r = pc.alloc()
-                while r < 0:
-                    self.pools[cls] = pc = _grow_pool(
-                        pc, d, self.dtype, self._np
-                    )
+                if self._np:
+                    r = -1
+                else:
                     r = pc.alloc()
-                rows_np[i] = r
+                    while r < 0:
+                        self.pools[cls] = pc = _grow_pool(
+                            pc, d, self.dtype, False
+                        )
+                        r = pc.alloc()
+                    rows_np[i] = r
                 gcid = len(self.cliques)
                 rec = CliqueRec(
                     cid=gcid,
@@ -1049,19 +1095,22 @@ class IncrementalEngine:
                 lv_cids.append(gcid)
                 for gid in rec.frontal:
                     self.var_clique[gid] = gcid
-            rows_np[B_real:] = pc.cap  # trash
-            if self._np:
-                out = outs[li]
-                a = pc.arrays
-                a.L[rows_np] = out["L"]
-                a.Linv[rows_np] = out["Linv"]
-                a.W[rows_np] = out["W"]
-                a.y[rows_np] = out["y"]
-                a.U[rows_np] = out["U"]
-                a.ug[rows_np] = out["ug"]
-                for arr in a:  # keep the trash row zero for pad gathers
-                    arr[pc.cap] = 0.0
-            else:
+                if self._np:
+                    out = outs[li]
+                    # .copy(), NOT ascontiguousarray: leading-axis slices are
+                    # already contiguous, so ascontiguousarray returns a VIEW
+                    # that pins the whole level output alive as long as any
+                    # one clique lives (measured 100+ MB of retained buckets)
+                    self.payloads[gcid] = PoolArrays(
+                        L=out["L"][i].copy(),
+                        Linv=out["Linv"][i].copy(),
+                        W=out["W"][i].copy(),
+                        y=out["y"][i].copy(),
+                        U=out["U"][i].copy(),
+                        ug=out["ug"][i].copy(),
+                    )
+            if not self._np:
+                rows_np[B_real:] = pc.cap  # trash
                 self.pools[cls] = PoolClass(
                     pc.nf, pc.ns, pc.cap,
                     _scatter_pool_jit(Bp, nf, ns, d, pc.cap)(
@@ -1085,17 +1134,6 @@ class IncrementalEngine:
             pg = local2global[orphan_owner[ei]]
             c.parent = pg
             self.cliques[pg].children.add(cid)
-
-        # ---- reclaim empty pool classes (exact numpy shapes make big
-        # transient loop-closure classes; their arrays are dead weight) ----
-        if self._np:
-            for cls_k in list(self.pools):
-                pc0 = self.pools[cls_k]
-                if pc0.cap > 0 and pc0.top == len(pc0.free):
-                    self.pools[cls_k] = PoolClass(
-                        pc0.nf, pc0.ns, 0,
-                        _make_pool(pc0.nf, pc0.ns, d, 0, self.dtype, True),
-                    )
 
         # ---- wildfire back-substitution from the new cliques ----
         n_rounds = self._wildfire(new_by_level, wildfire_threshold)
@@ -1365,7 +1403,7 @@ class IncrementalEngine:
         changes: Dict[int, float] = {}
         for cls, full_group in sorted(by_cls.items()):
             nf, ns = cls
-            pc = self.pools[cls]
+            pc = None if self._np else self.pools[cls]
             step = (1 << 30) if self._np else _B_CHUNK
             chunks = [
                 full_group[s : s + step]
@@ -1378,7 +1416,7 @@ class IncrementalEngine:
         d = self.d
         for group in chunks:
             B = len(group) if self._np else _b_class(len(group))
-            rows = np.full(B, pc.cap, dtype=np.int32)
+            rows = np.full(B, 0 if self._np else pc.cap, dtype=np.int32)
             sep_idx = np.full((B, ns), self.xcap, dtype=np.int32)
             fro_idx = np.full((B, nf), self.xcap, dtype=np.int32)
             valid = np.zeros(B, dtype=np.float32)
@@ -1391,8 +1429,11 @@ class IncrementalEngine:
                     fro_idx[i, fi] = gid
                 valid[i] = 1.0
             if self._np:
-                a = pc.arrays
-                Lg, Linvg, Wg, yg = a.L[rows], a.Linv[rows], a.W[rows], a.y[rows]
+                pays = [self.payloads[cid] for cid in group]
+                Lg = np.stack([p.L for p in pays])
+                Linvg = np.stack([p.Linv for p in pays])
+                Wg = np.stack([p.W for p in pays])
+                yg = np.stack([p.y for p in pays])
                 if ns > 0:
                     xs = self.x[sep_idx].reshape(B, ns * d)
                     rhs = yg - np.einsum("bfs,bs->bf", Wg, xs)
@@ -1540,24 +1581,26 @@ class IncrementalEngine:
             if keep_messages and live_scope and not any(
                 v in gset for v in live_scope
             ):
-                mp = self.msg_pools.get(nsc)
-                if mp is None:
-                    mp = PoolClass(
-                        0, nsc, 0,
-                        _make_pool(0, nsc, self.d, 0, self.dtype, self._np),
-                    )
-                    self.msg_pools[nsc] = mp
-                r = mp.alloc()
-                while r < 0:
-                    self.msg_pools[nsc] = mp = _grow_pool(
-                        mp, self.d, self.dtype, self._np
-                    )
-                    r = mp.alloc()
-                src = self.pools[c.cls]
+                mid = len(self.msgs)
                 if self._np:
-                    mp.arrays.U[r] = src.arrays.U[c.row]
-                    mp.arrays.ug[r] = src.arrays.ug[c.row]
+                    r = -1
+                    pay = self.payloads[c.cid]
+                    self.msg_payloads[mid] = (pay.U.copy(), pay.ug.copy())
                 else:
+                    mp = self.msg_pools.get(nsc)
+                    if mp is None:
+                        mp = PoolClass(
+                            0, nsc, 0,
+                            _make_pool(0, nsc, self.d, 0, self.dtype, False),
+                        )
+                        self.msg_pools[nsc] = mp
+                    r = mp.alloc()
+                    while r < 0:
+                        self.msg_pools[nsc] = mp = _grow_pool(
+                            mp, self.d, self.dtype, False
+                        )
+                        r = mp.alloc()
+                    src = self.pools[c.cls]
                     U2, ug2 = _copy_msg_jit(nsc, self.d, src.cap, mp.cap)(
                         mp.arrays.U, mp.arrays.ug,
                         jnp.asarray(np.asarray([r], np.int32)),
@@ -1565,7 +1608,6 @@ class IncrementalEngine:
                         jnp.asarray(np.asarray([c.row], np.int32)),
                     )
                     mp.arrays = mp.arrays._replace(U=U2, ug=ug2)
-                mid = len(self.msgs)
                 self.msgs.append(MsgRec(mid=mid, ns=nsc, row=r, scope=live_scope))
                 # owner: the live clique where the first separator var is frontal
                 owner = self.var_clique[live_scope[0]]
@@ -1575,7 +1617,10 @@ class IncrementalEngine:
             # owned — their information now lives in the marginal factor
             if c.parent >= 0 and self.cliques[c.parent] is not None:
                 self.cliques[c.parent].children.discard(c.cid)
-            self.pools[c.cls].free.append(c.row)
+            if self._np:
+                self.payloads.pop(c.cid, None)
+            else:
+                self.pools[c.cls].free.append(c.row)
             for gid in c.frontal:
                 self.var_clique.pop(gid, None)
             retired = set(c.owned_fac)

@@ -75,6 +75,19 @@ def _marg_level_jit(B, nf, ns, d, pool_cap, Gcap):
 
 
 @lru_cache(maxsize=None)
+def _marg_level_stacked_jit(B, nf, ns, d, Gcap):
+    """As _marg_level_jit, but over already-stacked clique payloads (the
+    numpy engine backend stores per-clique arrays, not pools)."""
+    base = _marg_level_jit(B, nf, ns, d, 0, Gcap)
+
+    def f(G, Lg, Linvg, Wg, gather_idx, scatter_idx):
+        rows = jnp.arange(B, dtype=jnp.int32)
+        return base(G, Lg, Linvg, Wg, rows, gather_idx, scatter_idx)
+
+    return f
+
+
+@lru_cache(maxsize=None)
 def _zeros_jit(Gcap, d, dtype_str):
     def f(probe):
         return jnp.zeros((Gcap + 1, d, d), dtype=probe.dtype)
@@ -131,11 +144,11 @@ class TreeMarginals:
             by_dc.setdefault((depth[c.cid], c.cls), []).append(c)
         for (dep, cls), group in sorted(by_dc.items(), key=lambda kv: kv[0][0]):
             nf, ns = cls
-            pc = engine.pools[cls]
+            pc = None if engine._np else engine.pools[cls]
             for s in range(0, len(group), _B_CHUNK):
                 chunk = group[s : s + _B_CHUNK]
-                B = _b_class(len(chunk))
-                rows = np.full(B, pc.cap, dtype=np.int32)
+                B = len(chunk) if engine._np else _b_class(len(chunk))
+                rows = np.full(B, 0 if engine._np else pc.cap, dtype=np.int32)
                 gather = np.full((B, ns, ns), self._Gcap, dtype=np.int32)
                 scatter = np.full(
                     (B, nf + ns, nf + ns), self._Gcap, dtype=np.int32
@@ -165,16 +178,28 @@ class TreeMarginals:
                         gather[i, :nr, :nr] = (
                             bp + ppos[:, None] * mb_p + ppos[None, :]
                         )
-                fn = _marg_level_jit(B, nf, ns, d, pc.cap, self._Gcap)
-                G = fn(
-                    G,
-                    pc.arrays.L,
-                    pc.arrays.Linv,
-                    pc.arrays.W,
-                    jnp.asarray(rows),
-                    jnp.asarray(gather),
-                    jnp.asarray(scatter),
-                )
+                if engine._np:
+                    pays = [engine.payloads[c.cid] for c in chunk]
+                    fn = _marg_level_stacked_jit(B, nf, ns, d, self._Gcap)
+                    G = fn(
+                        G,
+                        jnp.asarray(np.stack([p.L for p in pays])),
+                        jnp.asarray(np.stack([p.Linv for p in pays])),
+                        jnp.asarray(np.stack([p.W for p in pays])),
+                        jnp.asarray(gather),
+                        jnp.asarray(scatter),
+                    )
+                else:
+                    fn = _marg_level_jit(B, nf, ns, d, pc.cap, self._Gcap)
+                    G = fn(
+                        G,
+                        pc.arrays.L,
+                        pc.arrays.Linv,
+                        pc.arrays.W,
+                        jnp.asarray(rows),
+                        jnp.asarray(gather),
+                        jnp.asarray(scatter),
+                    )
         self._G = G
 
     def covariance_gid(self, gid: int) -> jnp.ndarray:
