@@ -60,17 +60,42 @@ def _np_pad_last(x, target):
 
 
 class _NpAccum:
-    """Deferred scatter-add into a [R, W] array: contributions are queued
-    as (rows, vals) and materialized by ONE np.bincount pass (np.add.at
-    costs ~0.5 ms per call regardless of size; per-call bincounts pay an
-    O(pool) output allocation each — batching pays it once)."""
+    """Scatter-add into a [R, W] array. With the native library the adds
+    run IMMEDIATELY through scatter_add_rows (one C call per contribution,
+    ~free); otherwise contributions queue and materialize via ONE
+    np.bincount pass at flush (np.add.at costs ~0.5 ms per call regardless
+    of size). Bind `dst`/`trash_row` at construction to enable the
+    immediate path."""
 
-    def __init__(self, W):
+    def __init__(self, W, dst=None, trash_row=None):
         self.W = W
         self.rows = []
         self.vals = []
+        self.dst = None
+        self.trash = -1 if trash_row is None else int(trash_row)
+        self.lib = None
+        if dst is not None and dst.dtype == np.float64:
+            from gtsam_petercdev_tpu.inference.kernels_np import _native_lib
+
+            lib = _native_lib()
+            if lib is not None:
+                self.dst = dst
+                self.lib = lib
 
     def add(self, rows, vals):
+        if self.lib is not None:
+            import ctypes
+
+            rows = np.ascontiguousarray(
+                np.asarray(rows, dtype=np.int64).ravel()
+            )
+            vals = np.ascontiguousarray(vals, dtype=np.float64)
+            cp = lambda a: ctypes.c_void_p(a.ctypes.data)
+            self.lib.scatter_add_rows(
+                cp(self.dst), cp(rows), cp(vals), rows.size, self.W,
+                self.trash,
+            )
+            return
         self.rows.append(np.asarray(rows, dtype=np.int64).ravel())
         self.vals.append(np.ascontiguousarray(vals).reshape(-1, self.W))
 
@@ -98,6 +123,20 @@ class _NpAccum:
                 vals = vals[keep]
         if rows.size == 0:
             return
+        if dst.dtype == np.float64:
+            from gtsam_petercdev_tpu.inference.kernels_np import _native_lib
+
+            lib = _native_lib()
+            if lib is not None:
+                import ctypes
+
+                vals = np.ascontiguousarray(vals, dtype=np.float64)
+                rows = np.ascontiguousarray(rows, dtype=np.int64)
+                cp = lambda a: ctypes.c_void_p(a.ctypes.data)
+                lib.scatter_add_rows(
+                    cp(dst), cp(rows), cp(vals), rows.size, W, -1
+                )
+                return
         lo = int(rows.min())
         hi = int(rows.max())
         if rows.size <= 128:
@@ -279,6 +318,165 @@ class CliqueRec:
     owned_fac: List[Tuple[int, int]] = field(default_factory=list)  # (grp,row)
     owned_msg: List[int] = field(default_factory=list)  # persistent msg ids
     alive: bool = True
+    nslot: int = -1  # native-tree slot (numpy backend)
+
+
+class _NativeTree:
+    """Flat per-slot topology/payload descriptor tables for the native
+    wildfire sweep (native/src/solve_native.cpp). Slots are recycled via a
+    free list so the table size tracks PEAK LIVE cliques, not the
+    append-only cid space. Payload addresses stay valid because the numpy
+    payload arrays are owned by engine.payloads until the clique dies."""
+
+    def __init__(self, lib, d: int):
+        self.lib = lib
+        self.d = d
+        cap = 1024
+        self.cap = cap
+        self.parent = np.full(cap, -1, dtype=np.int32)
+        self.alive = np.zeros(cap, dtype=np.uint8)
+        self.nf = np.zeros(cap, dtype=np.int32)
+        self.ns = np.zeros(cap, dtype=np.int32)
+        self.nfr = np.zeros(cap, dtype=np.int32)  # real counts (<= class)
+        self.nsr = np.zeros(cap, dtype=np.int32)
+        self.pL = np.zeros(cap, dtype=np.uint64)
+        self.pLinv = np.zeros(cap, dtype=np.uint64)
+        self.pW = np.zeros(cap, dtype=np.uint64)
+        self.pY = np.zeros(cap, dtype=np.uint64)
+        self.fro_off = np.zeros(cap, dtype=np.int64)
+        self.sep_off = np.zeros(cap, dtype=np.int64)
+        self.free: List[int] = []
+        self.top = 0
+        self.buf_cap = 65536
+        self.fro_buf = np.zeros(self.buf_cap, dtype=np.int32)
+        self.sep_buf = np.zeros(self.buf_cap, dtype=np.int32)
+        self.cursor = 0  # shared cursor for both gid buffers
+        self.live_ints = 0  # gid entries owned by live slots
+        self.max_fd = d
+        self.seed_mask = np.zeros(cap, dtype=np.uint8)
+        self.scratch = np.zeros(4 * self.max_fd, dtype=np.float64)
+
+    def _grow_slots(self):
+        new = self.cap * 2
+        for name in ("parent", "alive", "nf", "ns", "nfr", "nsr", "pL",
+                     "pLinv", "pW", "pY", "fro_off", "sep_off", "seed_mask"):
+            old = getattr(self, name)
+            arr = np.zeros(new, dtype=old.dtype)
+            if name == "parent":
+                arr[:] = -1
+            arr[: self.cap] = old
+            setattr(self, name, arr)
+        self.cap = new
+
+    def _buf_reserve(self, n: int):
+        need = self.cursor + n
+        if need <= self.buf_cap:
+            return
+        while self.buf_cap < need:
+            self.buf_cap *= 2
+        for name in ("fro_buf", "sep_buf"):
+            old = getattr(self, name)
+            arr = np.zeros(self.buf_cap, dtype=np.int32)
+            arr[: self.cursor] = old[: self.cursor]
+            setattr(self, name, arr)
+
+    def alloc(self, rec: "CliqueRec", pay: PoolArrays) -> int:
+        nf, ns = rec.cls
+        nfr, nsr = len(rec.frontal), len(rec.separator)
+        if self.free:
+            s = self.free.pop()
+        else:
+            if self.top >= self.cap:
+                self._grow_slots()
+            s = self.top
+            self.top += 1
+        width = max(nfr, nsr)
+        self._buf_reserve(width)
+        off = self.cursor
+        self.fro_buf[off : off + nfr] = rec.frontal
+        self.sep_buf[off : off + nsr] = rec.separator
+        self.cursor += width
+        self.live_ints += width
+        self.parent[s] = -1
+        self.alive[s] = 1
+        self.nf[s] = nf
+        self.ns[s] = ns
+        self.nfr[s] = nfr
+        self.nsr[s] = nsr
+        self.pL[s] = pay.L.ctypes.data
+        self.pLinv[s] = pay.Linv.ctypes.data
+        self.pW[s] = pay.W.ctypes.data
+        self.pY[s] = pay.y.ctypes.data
+        self.fro_off[s] = off
+        self.sep_off[s] = off
+        fd = nf * self.d
+        if fd > self.max_fd:
+            self.max_fd = fd
+            self.scratch = np.zeros(4 * fd, dtype=np.float64)
+        rec.nslot = s
+        return s
+
+    def set_parent(self, rec: "CliqueRec", parent_rec: Optional["CliqueRec"]):
+        self.parent[rec.nslot] = -1 if parent_rec is None else parent_rec.nslot
+
+    def on_free(self, rec: "CliqueRec"):
+        s = rec.nslot
+        if s < 0:
+            return
+        self.alive[s] = 0
+        self.pL[s] = self.pLinv[s] = self.pW[s] = self.pY[s] = 0
+        self.live_ints -= max(int(self.nfr[s]), int(self.nsr[s]))
+        self.free.append(s)
+        rec.nslot = -1
+
+    def maybe_compact(self, cliques):
+        """Rebuild the gid buffers when dead entries dominate."""
+        if self.cursor < (1 << 20) or self.cursor < 8 * max(1, self.live_ints):
+            return
+        new_f = np.zeros(self.buf_cap, dtype=np.int32)
+        new_s = np.zeros(self.buf_cap, dtype=np.int32)
+        cur = 0
+        for rec in cliques:
+            if rec is None or not rec.alive or rec.nslot < 0:
+                continue
+            s = rec.nslot
+            nfr, nsr = int(self.nfr[s]), int(self.nsr[s])
+            width = max(nfr, nsr)
+            new_f[cur : cur + nfr] = self.fro_buf[
+                self.fro_off[s] : self.fro_off[s] + nfr
+            ]
+            new_s[cur : cur + nsr] = self.sep_buf[
+                self.sep_off[s] : self.sep_off[s] + nsr
+            ]
+            self.fro_off[s] = cur
+            self.sep_off[s] = cur
+            cur += width
+        self.fro_buf = new_f
+        self.sep_buf = new_s
+        self.cursor = cur
+
+    def sweep(self, x: np.ndarray, xcap: int, seeds: List[int],
+              threshold: float) -> int:
+        import ctypes
+
+        dirty = np.zeros(xcap + 1, dtype=np.uint8)
+        self.seed_mask[: self.top] = 0
+        seeds_np = np.asarray(seeds, dtype=np.int32)
+        c = lambda a: ctypes.c_void_p(a.ctypes.data)
+        return int(
+            self.lib.wildfire_sweep(
+                self.top,
+                c(self.parent), c(self.alive), c(self.nf), c(self.ns),
+                c(self.nfr), c(self.nsr),
+                c(self.pL), c(self.pLinv), c(self.pW), c(self.pY),
+                c(self.fro_off), c(self.sep_off),
+                c(self.fro_buf), c(self.sep_buf),
+                c(x), self.d, xcap,
+                c(seeds_np), len(seeds_np),
+                float(threshold),
+                c(dirty), c(self.seed_mask), c(self.scratch),
+            )
+        )
 
 
 @dataclass
@@ -582,6 +780,16 @@ class IncrementalEngine:
         # 2,700+ classes holding 85 GB for <1k live cliques).
         self.payloads: Dict[int, PoolArrays] = {}
         self.msg_payloads: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # native wildfire sweep (solve_native.cpp): deep incremental trees
+        # make back-substitution a sequential descent; per-clique cost must
+        # be ~1 us (C) rather than ~100 us (Python frontier loop)
+        self._nat: Optional[_NativeTree] = None
+        if self._np and self._npdtype == np.float64:
+            from gtsam_petercdev_tpu.native.build import load_solve_library
+
+            lib = load_solve_library()
+            if lib is not None:
+                self._nat = _NativeTree(lib, d)
         self.cliques: List[Optional[CliqueRec]] = []
         self.var_clique: Dict[int, int] = {}  # gid -> cid (frontal owner)
         self.groups: List[FactorGroup] = []
@@ -903,8 +1111,10 @@ class IncrementalEngine:
         if self._np:
             pool = np.zeros((plan.n_blocks + 1, dd), dtype=self._npdtype)
             gp = np.zeros((plan.n_grows + 1, d), dtype=self._npdtype)
-            acc_pool = _NpAccum(dd)
-            acc_gp = _NpAccum(d)
+            # trash rows (n_blocks / n_grows) exist in the pools, so the
+            # immediate native path needs no drop filter
+            acc_pool = _NpAccum(dd, dst=pool)
+            acc_gp = _NpAccum(d, dst=gp)
             Pcap = Gcap = 0
         else:
             while self.pool_cap < plan.n_blocks + 1:
@@ -1047,6 +1257,8 @@ class IncrementalEngine:
             c = self.cliques[cid]
             c.alive = False
             if self._np:
+                if self._nat is not None:
+                    self._nat.on_free(c)
                 self.payloads.pop(cid, None)
             else:
                 self.pools[c.cls].free.append(c.row)
@@ -1101,7 +1313,7 @@ class IncrementalEngine:
                     # already contiguous, so ascontiguousarray returns a VIEW
                     # that pins the whole level output alive as long as any
                     # one clique lives (measured 100+ MB of retained buckets)
-                    self.payloads[gcid] = PoolArrays(
+                    pay = PoolArrays(
                         L=out["L"][i].copy(),
                         Linv=out["Linv"][i].copy(),
                         W=out["W"][i].copy(),
@@ -1109,6 +1321,9 @@ class IncrementalEngine:
                         U=out["U"][i].copy(),
                         ug=out["ug"][i].copy(),
                     )
+                    self.payloads[gcid] = pay
+                    if self._nat is not None:
+                        self._nat.alloc(rec, pay)
             if not self._np:
                 rows_np[B_real:] = pc.cap  # trash
                 self.pools[cls] = PoolClass(
@@ -1129,11 +1344,19 @@ class IncrementalEngine:
                     pg = local2global[par]
                     self.cliques[gcid].parent = pg
                     self.cliques[pg].children.add(gcid)
+                    if self._nat is not None:
+                        self._nat.set_parent(
+                            self.cliques[gcid], self.cliques[pg]
+                        )
         for ei, cid in enumerate(orphan_cids):
             c = self.cliques[cid]
             pg = local2global[orphan_owner[ei]]
             c.parent = pg
             self.cliques[pg].children.add(cid)
+            if self._nat is not None:
+                self._nat.set_parent(c, self.cliques[pg])
+        if self._nat is not None:
+            self._nat.maybe_compact(self.cliques)
 
         # ---- wildfire back-substitution from the new cliques ----
         n_rounds = self._wildfire(new_by_level, wildfire_threshold)
@@ -1462,6 +1685,13 @@ class IncrementalEngine:
         """Frontier descent: new cliques top-down (forced), then into old
         subtrees while the separator delta keeps changing by > threshold
         (ISAM2Clique::optimizeWildfireNode semantics)."""
+        if self._nat is not None:
+            seeds = [
+                self.cliques[cid].nslot
+                for lv in new_by_level
+                for cid in lv
+            ]
+            return self._nat.sweep(self.x, self.xcap, seeds, threshold)
         dirty: Set[int] = set()
         new_set = {cid for lv in new_by_level for cid in lv}
         n_rounds = 0
@@ -1497,6 +1727,17 @@ class IncrementalEngine:
         return n_rounds
 
     # -- delta access -------------------------------------------------------------
+
+    def x_snapshot(self):
+        """The delta array in a form safe to hand to a jitted function.
+
+        jax on CPU ZERO-COPY aliases float64 numpy arrays, and the numpy
+        backend mutates x in place (zero_delta_rows, the native wildfire
+        sweep's pointer writes) — an async jit dispatched on the raw buffer
+        reads post-mutation values (observed as hash-seed-dependent test
+        flakiness). Snapshot for the numpy backend; the jax backend's x is
+        an immutable device array already."""
+        return self.x.copy() if self._np else self.x
 
     def delta_rows(self, gids: np.ndarray, dim: int) -> jnp.ndarray:
         """Gather delta rows [len(gids), dim] for a set of variables."""
@@ -1618,6 +1859,8 @@ class IncrementalEngine:
             if c.parent >= 0 and self.cliques[c.parent] is not None:
                 self.cliques[c.parent].children.discard(c.cid)
             if self._np:
+                if self._nat is not None:
+                    self._nat.on_free(c)
                 self.payloads.pop(c.cid, None)
             else:
                 self.pools[c.cls].free.append(c.row)

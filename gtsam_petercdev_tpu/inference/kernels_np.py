@@ -53,20 +53,62 @@ def _chol_block(D, eps):
     return L, Linv, bad
 
 
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is _UNSET:
+        from gtsam_petercdev_tpu.native.build import load_solve_library
+
+        _NATIVE = load_solve_library()
+    return _NATIVE
+
+
+_UNSET = object()
+_NATIVE = _UNSET
+
+
 def partial_cholesky(Fm, gm, nf: int, d: int, eps=1e-10):
     """Eager twin of kernels.partial_cholesky: [B, m, m] bucket -> dict with
     L, Linv, W, y, U, ug, bad (same layouts).
 
-    Large frontals go through one LAPACK dpotrf + dtrsm per clique (blocked
-    BLAS beats the per-block-column loop ~5x on City10000's loop-closure
-    cliques); indefinite frontals fall back to the clamped-pivot loop."""
+    Dispatch: small/medium buckets go through the native scalar kernel
+    (native/src/solve_native.cpp chol_bucket — per-call dispatch overhead
+    of numpy/scipy dominates at m <= ~128); very large frontals use one
+    LAPACK dpotrf + dtrsm per clique; the numpy clamped-pivot loop is the
+    always-correct fallback."""
     B, m, _ = Fm.shape
+    if m <= 384 and Fm.dtype == np.float64:
+        lib = _native_lib()
+        if lib is not None:
+            return _partial_cholesky_native(lib, Fm, gm, nf, d, eps)
     if nf * d >= 48 and B <= 8:
         try:
             return _partial_cholesky_lapack(Fm, gm, nf, d)
         except Exception:
             pass  # indefinite: clamped-pivot loop below
     return _partial_cholesky_loop(Fm, gm, nf, d, eps)
+
+
+def _partial_cholesky_native(lib, Fm, gm, nf, d, eps):
+    import ctypes
+
+    B, m, _ = Fm.shape
+    fd = nf * d
+    sd = m - fd
+    Fm = np.ascontiguousarray(Fm)
+    gm = np.ascontiguousarray(gm)
+    L = np.empty((B, fd, fd))
+    Linv = np.empty((B, nf, d, d))
+    W = np.empty((B, fd, sd))
+    y = np.empty((B, fd))
+    U = np.empty((B, sd, sd))
+    ug = np.empty((B, sd))
+    work = np.empty(m * m + m)
+    c = lambda a: ctypes.c_void_p(a.ctypes.data)
+    bad = lib.chol_bucket(
+        c(Fm), c(gm), B, m, nf, d, float(eps),
+        c(L), c(Linv), c(W), c(y), c(U), c(ug), c(work),
+    )
+    return dict(L=L, Linv=Linv, W=W, y=y, U=U, ug=ug, bad=int(bad))
 
 
 def _partial_cholesky_lapack(Fm, gm, nf: int, d: int):

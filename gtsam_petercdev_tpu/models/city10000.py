@@ -7,8 +7,14 @@ Per dataset line `EDGE2 keyS _ keyT _ numMeas x y rad [...]`:
     BetweenFactor, and run one ISAM2 update.
   * otherwise: loop closure — add the BetweenFactor, run one update.
 
-Noise models mirror City10000.h: prior sigmas 1e-4, pose sigmas
-(1/30, 1/30, 1/100).
+Reference semantics mirrored exactly (ISAM2_City10000.cpp:100-130,
+City10000.h:30-35):
+  * prior sigmas 1e-4; ODOMETRY sigmas (1/30, 1/30, 1/100);
+  * LOOP-CLOSURE factors use sigmas (10, 10, 10) — the harness's
+    non-ambiguity branch always takes the weak-noise model;
+  * `max_loops` counts LOOP lines only (reference maxLoopCount, default
+    2000 at ISAM2_City10000.cpp:49);
+  * wildfire_threshold 0.0 = ISAM2GaussNewtonParams(0.0).
 """
 
 from __future__ import annotations
@@ -71,7 +77,8 @@ class CityResult:
 def run_city10000(
     path: str,
     max_steps: Optional[int] = None,
-    wildfire_threshold: float = 0.001,
+    max_loops: Optional[int] = None,
+    wildfire_threshold: float = 0.0,
     relinearize_threshold: float = 0.01,
     relinearize_skip: int = 1,
     dtype=jnp.float64,
@@ -84,6 +91,9 @@ def run_city10000(
     pose_sig = np.asarray(
         noise.diagonal_sigmas(np.asarray([1.0 / 30.0, 1.0 / 30.0, 1.0 / 100.0]))
     )
+    # loop closures always take the reference harness's weak-noise branch
+    # (ISAM2_City10000.cpp:118-124, isWithAmbiguity=false)
+    loop_sig = np.asarray(noise.diagonal_sigmas(np.asarray([10.0] * 3)))
 
     isam = ISAM2(
         ISAM2Params(
@@ -104,6 +114,8 @@ def run_city10000(
     compose_j = jax.jit(pose2.compose)
     t_start = time.perf_counter()
     for (keyS, keyT, meas) in lines:
+        if max_loops is not None and res.n_loop_closures >= max_loops:
+            break
         odom = np.asarray(meas[0], dtype=np.dtype(dtype))
         nf = NonlinearFactorGraph()
         nv = Values()
@@ -113,7 +125,7 @@ def run_city10000(
             nf.add(between_factor("Pose2"), [keyS, keyT], odom, pose_sig)
             res.n_poses += 1
         else:  # loop closure
-            nf.add(between_factor("Pose2"), [keyS, keyT], odom, pose_sig)
+            nf.add(between_factor("Pose2"), [keyS, keyT], odom, loop_sig)
             res.n_loop_closures += 1
         t0 = time.perf_counter()
         isam.update(nf, nv)
@@ -177,7 +189,11 @@ if __name__ == "__main__":
         "--gt", default="/root/reference/examples/Data/ISAM2_GT_city10000.txt"
     )
     ap.add_argument("--steps", type=int, default=None)
-    ap.add_argument("--wildfire", type=float, default=0.001)
+    ap.add_argument(
+        "--max-loops", type=int, default=None,
+        help="stop after N loop-closure lines (reference maxLoopCount)",
+    )
+    ap.add_argument("--wildfire", type=float, default=0.0)
     ap.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (env vars alone are overridden by the "
@@ -253,6 +269,7 @@ if __name__ == "__main__":
     r = run_city10000(
         args.data,
         max_steps=args.steps,
+        max_loops=args.max_loops,
         wildfire_threshold=args.wildfire,
         dtype=jnp.float32 if args.f32 else jnp.float64,
         progress_every=args.progress,

@@ -10,15 +10,75 @@ import threading
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "src", "io_native.cpp")
 _LIB = os.path.join(_DIR, "_io_native.so")
+_SOLVE_SRC = os.path.join(_DIR, "src", "solve_native.cpp")
+_SOLVE_LIB = os.path.join(_DIR, "_solve_native.so")
 _LOCK = threading.Lock()
 _CACHED = None
 _FAILED = False
+_SOLVE_CACHED = None
+_SOLVE_FAILED = False
 
 
 def _needs_build() -> bool:
     if not os.path.exists(_LIB):
         return True
     return os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+
+
+def load_solve_library():
+    """Compile (if stale) and dlopen the native solver library.
+
+    Hosts the wildfire back-substitution sweep (solve_native.cpp) used by
+    the numpy incremental backend; None on failure (callers fall back to
+    the Python sweep)."""
+    global _SOLVE_CACHED, _SOLVE_FAILED
+    with _LOCK:
+        if _SOLVE_CACHED is not None:
+            return _SOLVE_CACHED
+        if _SOLVE_FAILED:
+            return None
+        try:
+            if (not os.path.exists(_SOLVE_LIB)) or os.path.getmtime(
+                _SOLVE_SRC
+            ) > os.path.getmtime(_SOLVE_LIB):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        _SOLVE_SRC, "-o", _SOLVE_LIB,
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_SOLVE_LIB)
+            vp = ctypes.c_void_p
+            i64 = ctypes.c_int64
+            lib.wildfire_sweep.restype = i64
+            lib.wildfire_sweep.argtypes = [
+                i64,                    # n_cap
+                vp, vp, vp, vp,         # parent, alive, nf, ns
+                vp, vp,                 # nfr, nsr (real counts)
+                vp, vp, vp, vp,         # pL, pLinv, pW, pY
+                vp, vp, vp, vp,         # fro_off, sep_off, fro_buf, sep_buf
+                vp, i64, i64,           # x, d, xcap
+                vp, i64,                # seeds, n_seeds
+                ctypes.c_double,        # threshold
+                vp, vp, vp,             # dirty, seed_mask, scratch
+            ]
+            lib.chol_bucket.restype = i64
+            lib.chol_bucket.argtypes = [
+                vp, vp,                          # Fm, gm
+                i64, i64, i64, i64,              # B, m, nf, d
+                ctypes.c_double,                 # eps
+                vp, vp, vp, vp, vp, vp, vp,      # L, Linv, W, y, U, ug, work
+            ]
+            lib.scatter_add_rows.restype = None
+            lib.scatter_add_rows.argtypes = [vp, vp, vp, i64, i64, i64]
+            _SOLVE_CACHED = lib
+            return lib
+        except Exception:
+            _SOLVE_FAILED = True
+            return None
 
 
 def load_library():

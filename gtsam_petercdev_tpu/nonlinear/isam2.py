@@ -189,7 +189,10 @@ class _TypeStore:
     def ensure(self, need: int, proto, dtype):
         if need <= self.cap:
             return
-        new_cap = max(16, self.cap)
+        # generous floor: cap feeds EVERY wrapper-jit signature (linearize /
+        # retract / estimate), so each growth event recompiles that family;
+        # 4096 rows of a small-manifold store is ~100 KB
+        new_cap = max(4096, self.cap)
         while new_cap < need:
             new_cap *= 2
         proto_leaves = jax.tree_util.tree_map(
@@ -425,7 +428,7 @@ class ISAM2:
             mask[: st.n] = True
             gidx = np.full(st.cap + 1, eng.xcap, dtype=np.int32)
             gidx[: st.n] = st.gids[: st.n]
-            newp = fn(st.params, eng.x, jnp.asarray(gidx), jnp.asarray(mask))
+            newp = fn(st.params, eng.x_snapshot(), jnp.asarray(gidx), jnp.asarray(mask))
             keys_t = [self._gid_key[g] for g in st.gids[: st.n]]
             # marginalized variables are gone from theta (ISAM2.cpp:717)
             live = np.asarray(
@@ -452,7 +455,7 @@ class ISAM2:
         t = self._gid_type[gid]
         st = self._stores[t]
         fn = _estimate_key_jit(t, st.cap, self._engine.xcap)
-        return fn(st.params, self._engine.x, self._gid_row[gid], gid)
+        return fn(st.params, self._engine.x_snapshot(), self._gid_row[gid], gid)
 
     def delta(self) -> Dict[str, jnp.ndarray]:
         eng = self._engine
@@ -623,7 +626,11 @@ class ISAM2:
         ftype = grp.ftype
         eng = self._engine
         N = len(rows)
-        Np = _pad(N)
+        # coarse shape classes (x8): relinearization touches a different row
+        # count every step, and each distinct Np is an XLA compile
+        Np = 1
+        while Np < N:
+            Np *= 8
         idx = np.asarray(rows + [rows[-1]] * (Np - N), dtype=np.int64)
         params = jax.tree_util.tree_map(lambda a: a[idx], grp.params)
         sqrt_info = grp.sqrt_info[idx]
@@ -661,7 +668,8 @@ class ISAM2:
                 mask[self._gid_row[gid]] = True
             fn = _retract_masked_jit(t, st.cap, eng.xcap, str(eng.dtype))
             st.params = fn(
-                st.params, eng.x, jnp.asarray(gidx), jnp.asarray(mask)
+                st.params, eng.x_snapshot(), jnp.asarray(gidx),
+                jnp.asarray(mask)
             )
 
     def _theta_values(self) -> Values:
