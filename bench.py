@@ -104,6 +104,18 @@ def main():
     base = _baseline_ms()
     vs = (base / iter_ms) if base else 1.0
 
+    # FLOP accounting: XLA's own cost model for the compiled step, so the
+    # headroom vs the chip's peak is a number (VERDICT r4: the step is
+    # dispatch-bound, not flop-bound — make that measurable)
+    flops = None
+    try:
+        ca = gn_step.lower(values).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:
+        print(f"# cost_analysis failed: {e!r}", file=sys.stderr)
+
     # secondary: BA LM-iteration throughput (landmark Schur elimination +
     # reduced camera solve) on the BAL dubrovnik sequence — the north-star
     # "BA iterations/sec/chip" number (reference timing/timeSFMBAL*.cpp)
@@ -143,6 +155,11 @@ def main():
         "unit": "ms",
         "vs_baseline": round(vs, 3),
     }
+    if flops:
+        extras["sphere2500_step_gflops"] = round(flops / 1e9, 3)
+        extras["sphere2500_achieved_gflops_per_s"] = round(
+            flops / (iter_ms / 1e3) / 1e9, 2
+        )
     if extras:
         rec["extras"] = extras
     print(json.dumps(rec))

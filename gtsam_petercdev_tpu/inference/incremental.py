@@ -1214,10 +1214,18 @@ class IncrementalEngine:
                 pool, plan.eye_rows_dev, plan.eye_vals_dev
             )
 
-        # ---- bottom-up level sweep (one small jit per level SHAPE) ----
+        # ---- bottom-up level sweep ----
+        # native path (numpy f64): ONE C call assembles each clique's
+        # frontal matrix from the block pool, factors it into its payload
+        # arrays, and extend-adds the Schur message — no per-level numpy
         outs = []
+        nat_pay = None
         bad = 0 if self._np else jnp.zeros((), jnp.int32)
-        for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
+        if self._np and self._nat is not None:
+            nat_pay, bad = self._native_eliminate(plan, pool, gp)
+        for li, (nf, ns, B_real, Bp, clqs) in enumerate(
+            () if nat_pay is not None else plan.levels_meta
+        ):
             boff, goff = plan.lvl_offsets[li]
             ext_dev, extg_dev = plan.ext_dev[li]
             if self._np:
@@ -1308,19 +1316,23 @@ class IncrementalEngine:
                 for gid in rec.frontal:
                     self.var_clique[gid] = gcid
                 if self._np:
-                    out = outs[li]
-                    # .copy(), NOT ascontiguousarray: leading-axis slices are
-                    # already contiguous, so ascontiguousarray returns a VIEW
-                    # that pins the whole level output alive as long as any
-                    # one clique lives (measured 100+ MB of retained buckets)
-                    pay = PoolArrays(
-                        L=out["L"][i].copy(),
-                        Linv=out["Linv"][i].copy(),
-                        W=out["W"][i].copy(),
-                        y=out["y"][i].copy(),
-                        U=out["U"][i].copy(),
-                        ug=out["ug"][i].copy(),
-                    )
+                    if nat_pay is not None:
+                        # C wrote the payload arrays directly
+                        pay = nat_pay[li][i]
+                    else:
+                        out = outs[li]
+                        # .copy(), NOT ascontiguousarray: leading-axis
+                        # slices are already contiguous, so that returns a
+                        # VIEW pinning the whole level output alive as
+                        # long as any one clique lives
+                        pay = PoolArrays(
+                            L=out["L"][i].copy(),
+                            Linv=out["Linv"][i].copy(),
+                            W=out["W"][i].copy(),
+                            y=out["y"][i].copy(),
+                            U=out["U"][i].copy(),
+                            ug=out["ug"][i].copy(),
+                        )
                     self.payloads[gcid] = pay
                     if self._nat is not None:
                         self._nat.alloc(rec, pay)
@@ -1365,6 +1377,75 @@ class IncrementalEngine:
             "bad_pivots": bad,
             "wildfire_rounds": n_rounds,
         }
+
+    def _native_eliminate(self, plan: "_LocalPlan", pool, gp):
+        """Run the whole bottom-up level sweep through ONE C call
+        (solve_native.cpp eliminate_sweep), with the per-clique payload
+        arrays pre-allocated so C writes them in place. Returns the
+        level-major payload list and the bad-pivot count."""
+        import ctypes
+
+        lib = self._nat.lib
+        d = self.d
+        nl = len(plan.levels_meta)
+        nf_a = np.empty(nl, np.int64)
+        ns_a = np.empty(nl, np.int64)
+        B_a = np.empty(nl, np.int64)
+        bo_a = np.empty(nl, np.int64)
+        go_a = np.empty(nl, np.int64)
+        extp = np.empty(nl, np.uint64)
+        extgp = np.empty(nl, np.uint64)
+        total = sum(meta[2] for meta in plan.levels_meta)
+        pp = [np.empty(total, np.uint64) for _ in range(6)]
+        nat_pay: List[List[PoolArrays]] = []
+        ci = 0
+        max_m = 1
+        ext_refs = []
+        for li, (nf, ns, B_real, Bp, clqs) in enumerate(plan.levels_meta):
+            fd, sd = nf * d, ns * d
+            m = fd + sd
+            max_m = max(max_m, m)
+            nf_a[li], ns_a[li], B_a[li] = nf, ns, B_real
+            bo_a[li], go_a[li] = plan.lvl_offsets[li]
+            ext, extg = plan.ext_dev[li]
+            ext = np.ascontiguousarray(ext, dtype=np.int32)
+            extg = np.ascontiguousarray(extg, dtype=np.int32)
+            ext_refs.append((ext, extg))
+            extp[li] = ext.ctypes.data
+            extgp[li] = extg.ctypes.data
+            # per-LEVEL arenas with per-clique views: cliques of one level
+            # are created (and overwhelmingly die) together, so the shared
+            # base arrays do not meaningfully outlive their cliques — and
+            # the allocation cost drops from 6 allocs/clique to 6/level
+            blks = (
+                np.empty((B_real, fd, fd)),
+                np.empty((B_real, nf, d, d)),
+                np.empty((B_real, fd, sd)),
+                np.empty((B_real, fd)),
+                np.empty((B_real, sd, sd)),
+                np.empty((B_real, sd)),
+            )
+            for slot, blk in enumerate(blks):
+                stride = blk.strides[0] if blk.ndim > 1 else blk.itemsize
+                stride = int(np.prod(blk.shape[1:], dtype=np.int64)) * 8
+                pp[slot][ci : ci + B_real] = blk.ctypes.data + stride * np.arange(
+                    B_real, dtype=np.uint64
+                )
+            lv_pays = [
+                PoolArrays(*(blk[i] for blk in blks)) for i in range(B_real)
+            ]
+            ci += B_real
+            nat_pay.append(lv_pays)
+        work = np.empty(max_m * (max_m + 1))
+        c = lambda a: ctypes.c_void_p(a.ctypes.data)
+        bad = lib.eliminate_sweep(
+            c(pool), c(gp), d, nl,
+            c(nf_a), c(ns_a), c(B_a), c(bo_a), c(go_a),
+            c(extp), c(extgp),
+            c(pp[0]), c(pp[1]), c(pp[2]), c(pp[3]), c(pp[4]), c(pp[5]),
+            1e-10, c(work),
+        )
+        return nat_pay, int(bad)
 
     def _build_plan(
         self,

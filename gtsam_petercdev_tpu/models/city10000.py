@@ -84,6 +84,7 @@ def run_city10000(
     dtype=jnp.float64,
     progress_every: int = 0,
     partial_cb=None,  # called every progress interval with a CityResult
+    checkpoint_path: Optional[str] = None,  # save_isam2 every progress tick
 ) -> CityResult:
     prior_sig = np.asarray(
         noise.diagonal_sigmas(np.asarray([1e-4, 1e-4, 1e-4]))
@@ -154,6 +155,10 @@ def run_city10000(
                 f"avg {avg:.1f} ms/step rss={rss_gb:.1f}GB",
                 flush=True,
             )
+            if checkpoint_path is not None:
+                from gtsam_petercdev_tpu.utils import serialization as _ser
+
+                _ser.save_isam2(checkpoint_path, isam)
             if partial_cb is not None:
                 est_p = isam.calculate_estimate()
                 rows_p = np.asarray(

@@ -43,7 +43,7 @@ def load_solve_library():
             ) > os.path.getmtime(_SOLVE_LIB):
                 subprocess.run(
                     [
-                        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        "g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared", "-std=c++17",
                         _SOLVE_SRC, "-o", _SOLVE_LIB,
                     ],
                     check=True,
@@ -74,6 +74,14 @@ def load_solve_library():
             ]
             lib.scatter_add_rows.restype = None
             lib.scatter_add_rows.argtypes = [vp, vp, vp, i64, i64, i64]
+            lib.eliminate_sweep.restype = i64
+            lib.eliminate_sweep.argtypes = [
+                vp, vp, i64, i64,                # pool, gp, d, n_levels
+                vp, vp, vp, vp, vp,              # nf, ns, B, boff, goff
+                vp, vp,                          # ext ptrs, extg ptrs
+                vp, vp, vp, vp, vp, vp,          # payload ptr arrays
+                ctypes.c_double, vp,             # eps, work
+            ]
             _SOLVE_CACHED = lib
             return lib
         except Exception:
@@ -93,7 +101,7 @@ def load_library():
             if _needs_build():
                 subprocess.run(
                     [
-                        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        "g++", "-O3", "-march=native", "-funroll-loops", "-fPIC", "-shared", "-std=c++17",
                         _SRC, "-o", _LIB,
                     ],
                     check=True,

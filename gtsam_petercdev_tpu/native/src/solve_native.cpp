@@ -158,6 +158,80 @@ int64_t wildfire_sweep(
 // small (m <= ~100), where loop overhead beats BLAS dispatch by ~10x.
 // ---------------------------------------------------------------------------
 
+
+// ---------------------------------------------------------------------------
+// Shared per-clique partial-Cholesky core. M is an m x m working copy
+// (destroyed), g the m-vector. Writes L/Linv/W/y/U/ug in the engine's
+// payload layouts; returns the clamped-pivot count.
+// ---------------------------------------------------------------------------
+static int64_t pchol_one(
+    double* M, const double* g, int64_t m, int64_t nf, int64_t d, double eps,
+    double* L, double* Linv, double* W, double* y, double* U, double* ug)
+{
+    const int64_t fd = nf * d;
+    const int64_t sd = m - fd;
+    int64_t bad = 0;
+    for (int64_t j = 0; j < fd; ++j) {
+        double piv = M[j * m + j];
+        if (piv <= eps) { ++bad; piv = eps; }
+        const double pj = __builtin_sqrt(piv);
+        M[j * m + j] = pj;
+        const double inv = 1.0 / pj;
+        for (int64_t r = j + 1; r < m; ++r) M[r * m + j] *= inv;
+        for (int64_t c = j + 1; c < m; ++c) {
+            const double ljc = M[c * m + j];
+            if (ljc == 0.0) continue;
+            double* Mc = M + c;
+            const double* Lj = M + j;
+            for (int64_t r = c; r < m; ++r)
+                Mc[r * m] -= Lj[r * m] * ljc;
+        }
+    }
+    std::memset(L, 0, sizeof(double) * fd * fd);
+    for (int64_t r = 0; r < fd; ++r)
+        for (int64_t c = 0; c <= r; ++c) L[r * fd + c] = M[r * m + c];
+    if (sd > 0) {
+        for (int64_t s2 = 0; s2 < sd; ++s2)
+            for (int64_t f = 0; f < fd; ++f)
+                W[f * sd + s2] = M[(fd + s2) * m + f];
+    }
+    for (int64_t j = 0; j < fd; ++j) {
+        double acc = g[j];
+        const double* Lr = L + j * fd;
+        for (int64_t k = 0; k < j; ++k) acc -= Lr[k] * y[k];
+        y[j] = acc / Lr[j];
+    }
+    if (sd > 0) {
+        for (int64_t r = 0; r < sd; ++r)
+            for (int64_t c = 0; c <= r; ++c) {
+                const double v = M[(fd + r) * m + (fd + c)];
+                U[r * sd + c] = v;
+                U[c * sd + r] = v;
+            }
+        for (int64_t s2 = 0; s2 < sd; ++s2) {
+            double acc = g[fd + s2];
+            for (int64_t f = 0; f < fd; ++f)
+                acc -= W[f * sd + s2] * y[f];
+            ug[s2] = acc;
+        }
+    }
+    for (int64_t j = 0; j < nf; ++j) {
+        const int64_t jd = j * d;
+        double* X = Linv + j * d * d;
+        std::memset(X, 0, sizeof(double) * d * d);
+        for (int64_t c = 0; c < d; ++c) {
+            X[c * d + c] = 1.0 / L[(jd + c) * fd + (jd + c)];
+            for (int64_t r = c + 1; r < d; ++r) {
+                double acc = 0.0;
+                const double* Lr = L + (jd + r) * fd + jd;
+                for (int64_t k = c; k < r; ++k) acc += Lr[k] * X[k * d + c];
+                X[r * d + c] = -acc / Lr[r];
+            }
+        }
+    }
+    return bad;
+}
+
 extern "C" int64_t chol_bucket(
     const double* Fm,  // [B, m, m]
     const double* gm,  // [B, m]
@@ -173,79 +247,97 @@ extern "C" int64_t chol_bucket(
     const int64_t fd = nf * d;
     const int64_t sd = m - fd;
     int64_t bad = 0;
-    double* M = work;          // m x m working copy (lower maintained)
-    double* yv = work + m * m; // forward-solve vector
+    double* M = work;
     for (int64_t b = 0; b < B; ++b) {
-        const double* A = Fm + b * m * m;
-        const double* g = gm + b * m;
-        std::memcpy(M, A, sizeof(double) * m * m);
-        // factor first fd columns
-        for (int64_t j = 0; j < fd; ++j) {
-            double piv = M[j * m + j];
-            if (piv <= eps) { ++bad; piv = eps; }
-            const double pj = __builtin_sqrt(piv);
-            M[j * m + j] = pj;
-            const double inv = 1.0 / pj;
-            for (int64_t r = j + 1; r < m; ++r) M[r * m + j] *= inv;
-            for (int64_t c = j + 1; c < m; ++c) {
-                const double ljc = M[c * m + j];
-                if (ljc == 0.0) continue;
-                double* Mc = M + c;  // column c, stride m
-                const double* Lj = M + j;
-                for (int64_t r = c; r < m; ++r)
-                    Mc[r * m] -= Lj[r * m] * ljc;
-            }
-        }
-        // outputs: L (lower incl diag), W = M[fd:, :fd]^T
-        double* L = Lout + b * fd * fd;
-        std::memset(L, 0, sizeof(double) * fd * fd);
-        for (int64_t r = 0; r < fd; ++r)
-            for (int64_t c = 0; c <= r; ++c) L[r * fd + c] = M[r * m + c];
-        if (sd > 0) {
-            double* W = Wout + b * fd * sd;
-            for (int64_t s = 0; s < sd; ++s)
-                for (int64_t f = 0; f < fd; ++f)
-                    W[f * sd + s] = M[(fd + s) * m + f];
-        }
-        // y = L^{-1} g_f (forward substitution)
-        double* y = yout + b * fd;
-        for (int64_t j = 0; j < fd; ++j) {
-            double acc = g[j];
-            const double* Lr = L + j * fd;
-            for (int64_t k = 0; k < j; ++k) acc -= Lr[k] * y[k];
-            y[j] = acc / Lr[j];
-        }
-        (void)yv;
-        if (sd > 0) {
-            // U = A_ss - W^T W = lower of M[fd:, fd:], symmetrized
-            double* U = Uout + b * sd * sd;
-            for (int64_t r = 0; r < sd; ++r)
-                for (int64_t c = 0; c <= r; ++c) {
-                    const double v = M[(fd + r) * m + (fd + c)];
-                    U[r * sd + c] = v;
-                    U[c * sd + r] = v;
+        std::memcpy(M, Fm + b * m * m, sizeof(double) * m * m);
+        bad += pchol_one(
+            M, gm + b * m, m, nf, d, eps,
+            Lout + b * fd * fd, Linv + b * nf * d * d,
+            Wout + b * fd * sd, yout + b * fd,
+            Uout + b * sd * sd, ugout + b * sd);
+    }
+    return bad;
+}
+
+// ---------------------------------------------------------------------------
+// Whole bottom-up elimination sweep of one local re-elimination: per level,
+// assemble each clique's frontal matrix straight out of the flat block pool
+// (no Python-side reshape/transpose), factor it with pchol_one writing the
+// outputs DIRECTLY into the clique's payload arrays, and extend-add the
+// Schur complement back into the parent's pool blocks. One C call replaces
+// ~30 numpy/scipy calls per update (the r5 City profile's remaining cost).
+// ---------------------------------------------------------------------------
+extern "C" int64_t eliminate_sweep(
+    double* pool,              // [(n_blocks+1), d*d]
+    double* gp,                // [(n_grows+1), d]
+    int64_t d,
+    int64_t n_levels,
+    const int64_t* nf_arr,     // [n_levels]
+    const int64_t* ns_arr,     // [n_levels]
+    const int64_t* B_arr,      // [n_levels]
+    const int64_t* boff_arr,   // [n_levels]
+    const int64_t* goff_arr,   // [n_levels]
+    const uint64_t* ext_ptr,   // [n_levels] -> int32[B, ns, ns] (parent blk)
+    const uint64_t* extg_ptr,  // [n_levels] -> int32[B, ns] (parent g rows)
+    const uint64_t* payL,      // [total_cliques] level-major payload ptrs
+    const uint64_t* payLinv,
+    const uint64_t* payW,
+    const uint64_t* payY,
+    const uint64_t* payU,
+    const uint64_t* payUg,
+    double eps,
+    double* work)              // [max_m * (max_m + 1)]
+{
+    const int64_t dd = d * d;
+    int64_t bad = 0;
+    int64_t ci = 0;  // level-major clique cursor
+    for (int64_t lv = 0; lv < n_levels; ++lv) {
+        const int64_t nf = nf_arr[lv], ns = ns_arr[lv], B = B_arr[lv];
+        const int64_t mb = nf + ns;
+        const int64_t m = mb * d;
+        const int64_t fd = nf * d, sd = ns * d;
+        const int64_t boff = boff_arr[lv], goff = goff_arr[lv];
+        const int32_t* ext = (const int32_t*)(uintptr_t)ext_ptr[lv];
+        const int32_t* extg = (const int32_t*)(uintptr_t)extg_ptr[lv];
+        double* M = work;
+        double* g = work + m * m;
+        for (int64_t i = 0; i < B; ++i, ++ci) {
+            // gather the frontal matrix from the block pool
+            const int64_t bbase = boff + i * mb * mb;
+            for (int64_t p = 0; p < mb; ++p)
+                for (int64_t q = 0; q < mb; ++q) {
+                    const double* blk = pool + (bbase + p * mb + q) * dd;
+                    double* Mrow = M + (p * d) * m + q * d;
+                    for (int64_t a = 0; a < d; ++a)
+                        for (int64_t b2 = 0; b2 < d; ++b2)
+                            Mrow[a * m + b2] = blk[a * d + b2];
                 }
-            double* ug = ugout + b * sd;
-            const double* Wm = Wout + b * fd * sd;
-            for (int64_t s = 0; s < sd; ++s) {
-                double acc = g[fd + s];
-                for (int64_t f = 0; f < fd; ++f)
-                    acc -= Wm[f * sd + s] * y[f];
-                ug[s] = acc;
-            }
-        }
-        // diagonal d-block inverses (lower triangular inversion)
-        for (int64_t j = 0; j < nf; ++j) {
-            const int64_t jd = j * d;
-            double* X = Linv + ((b * nf + j) * d * d);
-            std::memset(X, 0, sizeof(double) * d * d);
-            for (int64_t c = 0; c < d; ++c) {
-                X[c * d + c] = 1.0 / L[(jd + c) * fd + (jd + c)];
-                for (int64_t r = c + 1; r < d; ++r) {
-                    double acc = 0.0;
-                    const double* Lr = L + (jd + r) * fd + jd;
-                    for (int64_t k = c; k < r; ++k) acc += Lr[k] * X[k * d + c];
-                    X[r * d + c] = -acc / Lr[r];
+            const double* gsrc = gp + (goff + i * mb) * d;
+            std::memcpy(g, gsrc, sizeof(double) * m);
+            double* U = (double*)(uintptr_t)payU[ci];
+            double* ug = (double*)(uintptr_t)payUg[ci];
+            bad += pchol_one(
+                M, g, m, nf, d, eps,
+                (double*)(uintptr_t)payL[ci],
+                (double*)(uintptr_t)payLinv[ci],
+                (double*)(uintptr_t)payW[ci],
+                (double*)(uintptr_t)payY[ci],
+                U, ug);
+            // extend-add the Schur complement into the parent blocks
+            if (sd > 0) {
+                const int32_t* exti = ext + i * ns * ns;
+                const int32_t* extgi = extg + i * ns;
+                for (int64_t si = 0; si < ns; ++si) {
+                    for (int64_t sj = 0; sj < ns; ++sj) {
+                        double* dst = pool + (int64_t)exti[si * ns + sj] * dd;
+                        const double* src = U + (si * d) * sd + sj * d;
+                        for (int64_t a = 0; a < d; ++a)
+                            for (int64_t b2 = 0; b2 < d; ++b2)
+                                dst[a * d + b2] += src[a * sd + b2];
+                    }
+                    double* gdst = gp + (int64_t)extgi[si] * d;
+                    const double* gsrc2 = ug + si * d;
+                    for (int64_t a = 0; a < d; ++a) gdst[a] += gsrc2[a];
                 }
             }
         }

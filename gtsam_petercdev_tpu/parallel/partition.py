@@ -629,6 +629,10 @@ class PartitionedSolver:
             for (A, b), (rows, mask, blkp, gixp, blks, gixs) in zip(Ab, maps):
                 rows, mask = rows[0], mask[0]
                 blkp, gixp, blks, gixs = blkp[0], gixp[0], blks[0], gixs[0]
+                # mask arrives as host f64; a mixed-dtype product would
+                # promote the whole scatter chain and trip the f64->f32
+                # scatter FutureWarning (hard error in future JAX)
+                mask = mask.astype(b.dtype)
                 Ag = tuple(Ak[rows] * mask[:, None, None] for Ak in A)
                 bg = b[rows] * mask[:, None]
                 K = len(Ag)
@@ -646,7 +650,7 @@ class PartitionedSolver:
                         ).reshape(Nb, dd)
                         pool = pool.at[blkp[:, k, l]].add(v)
                         sep_pool = sep_pool.at[blks[:, k, l]].add(v)
-            pool = pool.at[erow[0]].add(eval_[0])
+            pool = pool.at[erow[0]].add(eval_[0].astype(dtype))
             eye = jnp.eye(d, dtype=dtype).reshape(1, dd)
             pool = pool.at[drow[0]].add(lam * eye)
 

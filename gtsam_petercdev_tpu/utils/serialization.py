@@ -168,3 +168,189 @@ def load_checkpoint(path: str):
     values = values_from_bytes(state["values"]) if state["values"] else None
     extra = _to_device(state["extra"]) if state["extra"] is not None else None
     return graph, values, extra
+
+
+# --- full ISAM2 engine checkpoint --------------------------------------------
+#
+# The reference serializes whole ISAM2 instances
+# (examples/SolverComparer.cpp:19-30, base/serialization.h:97-270) so
+# multi-hour incremental runs survive restarts. The numpy-backend engine is
+# pure host state (per-clique payload arrays + python records), so a
+# structured pickle round-trips it exactly; factor types are stored BY NAME
+# and resolved through the registry, mirroring graph_to_bytes.
+
+
+def isam2_to_bytes(isam) -> bytes:
+    eng = isam._engine
+    if eng is None:
+        raise ValueError("empty ISAM2 (no update yet)")
+    if not eng._np:
+        raise NotImplementedError(
+            "engine checkpoint is supported for the numpy backend (the "
+            "incremental production path); jax-backend state is device-side"
+        )
+
+    def rec_state(c):
+        if c is None:
+            return None
+        return (c.cid, c.cls, c.frontal, c.separator, c.parent,
+                sorted(c.children), c.owned_fac, c.owned_msg, c.alive)
+
+    eng_state = {
+        "d": eng.d,
+        "dtype": str(jnp.dtype(eng.dtype)),
+        "n": eng.n,
+        "var_dims": eng.var_dims,
+        "xcap": eng.xcap,
+        "x": eng.x,
+        "cliques": [rec_state(c) for c in eng.cliques],
+        "var_clique": dict(eng.var_clique),
+        "groups": [
+            (fg.gid, fg.K, fg.dims, fg.sign, fg.cap,
+             tuple(np.asarray(a) for a in fg.A), np.asarray(fg.b),
+             fg.keys, fg.n)
+            for fg in eng.groups
+        ],
+        "var_factors": {k: list(v) for k, v in eng.var_factors.items()},
+        "msgs": [
+            None if m is None else (m.mid, m.ns, m.row, m.scope, m.alive)
+            for m in eng.msgs
+        ],
+        "msg_payloads": dict(eng.msg_payloads),
+        "payloads": {cid: tuple(p) for cid, p in eng.payloads.items()},
+        "removed_units": sorted(eng.removed_units),
+        "n_live": eng.n_live,
+    }
+    wrap_state = {
+        "params": isam.params.__dict__,
+        "key_gid": dict(isam._key_gid),
+        "gid_key": list(isam._gid_key),
+        "gid_type": list(isam._gid_type),
+        "gid_row": list(isam._gid_row),
+        "stores": {
+            t: {
+                "n": st.n, "cap": st.cap, "gids": st.gids,
+                "params": _to_host(st.params),
+            }
+            for t, st in isam._stores.items()
+        },
+        "groups": [
+            None if g is None else {
+                "ftype": g.ftype.name,
+                "robust": (g.robust.name, g.robust.k) if g.robust else None,
+                "sign": g.sign, "n": g.n, "cap": g.cap,
+                "params": _to_host(g.params), "sqrt_info": g.sqrt_info,
+                "keys": g.keys, "retired": g.retired,
+            }
+            for g in isam._groups
+        ],
+        "marginalized": sorted(isam._marginalized),
+        "fixed_gids": sorted(isam._fixed_gids),
+        "update_count": isam._update_count,
+    }
+    return pickle.dumps({"engine": eng_state, "wrapper": wrap_state},
+                        protocol=4)
+
+
+def isam2_from_bytes(data: bytes):
+    from gtsam_petercdev_tpu.inference.incremental import (
+        CliqueRec,
+        FactorGroup,
+        IncrementalEngine,
+        MsgRec,
+        PoolArrays,
+    )
+    from gtsam_petercdev_tpu.nonlinear.isam2 import ISAM2, ISAM2Params, _Group
+    from gtsam_petercdev_tpu.nonlinear.isam2 import _TypeStore
+
+    state = pickle.loads(data)
+    es, ws = state["engine"], state["wrapper"]
+
+    isam = ISAM2(ISAM2Params(**ws["params"]))
+    eng = IncrementalEngine(
+        es["d"], dtype=jnp.dtype(es["dtype"]), backend="numpy"
+    )
+    eng.n = es["n"]
+    eng.var_dims = es["var_dims"]
+    eng.xcap = es["xcap"]
+    eng.x = np.ascontiguousarray(es["x"])
+    eng.var_clique = dict(es["var_clique"])
+    eng.var_factors = {k: list(v) for k, v in es["var_factors"].items()}
+    eng.removed_units = set(map(tuple, es["removed_units"]))
+    eng.n_live = es["n_live"]
+    eng.msg_payloads = dict(es["msg_payloads"])
+    eng.payloads = {
+        cid: PoolArrays(*(np.ascontiguousarray(a) for a in p))
+        for cid, p in es["payloads"].items()
+    }
+    for (gid, K, dims, sign, cap, A, b, keys, n_) in es["groups"]:
+        eng.groups.append(
+            FactorGroup(gid=gid, K=K, dims=tuple(dims), sign=sign, cap=cap,
+                        A=tuple(A), b=b, keys=keys, n=n_)
+        )
+    for ms in es["msgs"]:
+        eng.msgs.append(
+            None if ms is None
+            else MsgRec(mid=ms[0], ns=ms[1], row=ms[2], scope=list(ms[3]),
+                        alive=ms[4])
+        )
+    for cs in es["cliques"]:
+        if cs is None:
+            eng.cliques.append(None)
+            continue
+        rec = CliqueRec(
+            cid=cs[0], cls=tuple(cs[1]), row=-1, frontal=list(cs[2]),
+            separator=list(cs[3]), parent=cs[4], children=set(cs[5]),
+            owned_fac=[tuple(u) for u in cs[6]], owned_msg=list(cs[7]),
+            alive=cs[8],
+        )
+        eng.cliques.append(rec)
+        if rec.alive and eng._nat is not None and rec.cid in eng.payloads:
+            eng._nat.alloc(rec, eng.payloads[rec.cid])
+    if eng._nat is not None:
+        for rec in eng.cliques:
+            if rec is not None and rec.alive and rec.parent >= 0:
+                eng._nat.set_parent(rec, eng.cliques[rec.parent])
+
+    isam._engine = eng
+    isam._key_gid = {int(k): v for k, v in ws["key_gid"].items()}
+    isam._gid_key = list(ws["gid_key"])
+    isam._gid_type = list(ws["gid_type"])
+    isam._gid_row = list(ws["gid_row"])
+    isam._marginalized = set(ws["marginalized"])
+    isam._fixed_gids = set(ws["fixed_gids"])
+    isam._update_count = ws["update_count"]
+    for t, ss in ws["stores"].items():
+        st = _TypeStore(t, eng.dtype)
+        st.n, st.cap = ss["n"], ss["cap"]
+        st.gids = ss["gids"]
+        st.params = _to_device(ss["params"])
+        isam._stores[t] = st
+    for g, gs in enumerate(ws["groups"]):
+        if gs is None:
+            isam._groups.append(None)
+            continue
+        ftype = resolve_factor_type(gs["ftype"])
+        robust = RobustLoss(*gs["robust"]) if gs["robust"] else None
+        grp = _Group(ftype, robust, gs["sign"])
+        grp.n, grp.cap = gs["n"], gs["cap"]
+        grp.params = gs["params"]
+        grp.sqrt_info = gs["sqrt_info"]
+        grp.keys = gs["keys"]
+        grp.retired = gs["retired"]
+        isam._groups.append(grp)
+        # engine group_for key must match future add() lookups
+        eng._group_key[(ftype, robust, float(gs["sign"]))] = g
+    return isam
+
+
+def save_isam2(path: str, isam) -> None:
+    """Checkpoint a full ISAM2 solver (Bayes tree + cached factors + delta +
+    linearization points) so an incremental run can resume mid-stream."""
+    with open(path, "wb") as f:
+        f.write(isam2_to_bytes(isam))
+
+
+def load_isam2(path: str):
+    with open(path, "rb") as f:
+        return isam2_from_bytes(f.read())

@@ -1,6 +1,8 @@
 """Accuracy-parity harness: our solvers vs reference GTSAM's recorded results.
 
 Run:  python parity.py [--city-steps N]   (CPU f64; writes PARITY.md)
+      python parity.py --tpu-f32          (TPU f32 production config;
+                                           appends TPU rows to PARITY.md)
 
 Reference values and where they come from:
   * noisyToyGraph: the reference SHIPS its optimized output
@@ -22,8 +24,9 @@ import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if "--tpu-f32" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -98,13 +101,116 @@ def parity_city(steps):
     return r.ate_rmse(gt)
 
 
+def parity_sphere_tpu_f32():
+    """sphere2500 on the PRODUCTION TPU configuration: f32 linearize +
+    multifrontal solve + retract on-chip (Pallas kernels active), then the
+    f32 SOLUTION is evaluated in f64 on host — the accuracy question is
+    about the estimate, not about evaluating the cost in f32."""
+    from gtsam_petercdev_tpu.geometry import pose3
+    from gtsam_petercdev_tpu.linear import noise
+    from gtsam_petercdev_tpu.nonlinear.optimizers import (
+        OptimizerParams, gauss_newton,
+    )
+    from gtsam_petercdev_tpu.slam.factors import prior_factor
+    from gtsam_petercdev_tpu.utils import dataset
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    g, v = dataset.read_g2o(
+        dataset.find_example_data("sphere2500.txt"), is3D=True,
+        dtype=np.float32,
+    )
+    g.add(
+        prior_factor("Pose3"), [0], pose3.identity(jnp.float32),
+        noise.diagonal_precisions(
+            jnp.asarray([1e6] * 3 + [1e4] * 3, dtype=jnp.float32)
+        ),
+    )
+    res = gauss_newton(
+        g, v,
+        OptimizerParams(
+            solver="multifrontal", max_iterations=10,
+            relative_error_tol=0.0, absolute_error_tol=0.0,
+        ),
+    )
+    # f64 host evaluation of the f32 solution
+    sol64 = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, dtype=np.float64), res.values
+    )
+    g64, _ = dataset.read_g2o(
+        dataset.find_example_data("sphere2500.txt"), is3D=True,
+        dtype=np.float64,
+    )
+    g64.add(
+        prior_factor("Pose3"), [0], pose3.identity(jnp.float64),
+        noise.diagonal_precisions(np.asarray([1e6] * 3 + [1e4] * 3)),
+    )
+    from gtsam_petercdev_tpu.nonlinear.values import Values
+
+    v64 = Values()
+    v64.insert_batch(
+        list(range(res.values._count("Pose3"))), "Pose3",
+        jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64),
+            res.values.params("Pose3"),
+        ),
+    )
+    f32_cost_f64eval = float(g64.error(v64))
+    return float(min(res.error_history)), f32_cost_f64eval
+
+
+def parity_dubrovnik_tpu_f32():
+    from gtsam_petercdev_tpu.models.bundle_adjustment import optimize_ba
+    from gtsam_petercdev_tpu.nonlinear.optimizers import LMParams
+    from gtsam_petercdev_tpu.sfm import bal
+
+    data = bal.read_bal(
+        "/root/reference/examples/Data/dubrovnik-3-7-pre.txt",
+        dtype=np.float32,
+    )
+    res = optimize_ba(data, LMParams(max_iterations=100))
+    return float(res.error)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--city-steps", type=int, default=0,
                     help="run the City10000 ATE row on N steps (0 = skip)")
+    ap.add_argument("--tpu-f32", action="store_true",
+                    help="TPU f32 production-config rows (appends)")
     args = ap.parse_args()
 
     ok = True
+
+    if args.tpu_f32:
+        f32cost, f64eval = parity_sphere_tpu_f32()
+        ok &= record(
+            "sphere2500 GN, TPU f32 solution evaluated in f64", f64eval,
+            1163.61955038, 2e-3,
+            "production config: f32 linearize+eliminate on-chip",
+        )
+        record(
+            "sphere2500 GN, TPU f32 cost metric (f32 eval)", f32cost,
+            1163.61955038, 3e-2, "f32 cost evaluation bias, informational",
+        )
+        try:
+            e = parity_dubrovnik_tpu_f32()
+            ok &= record(
+                "dubrovnik-3-7 mean reproj error, TPU f32 (px)", e,
+                0.0461, 0.05, "reference SFM BAL pipeline",
+            )
+        except Exception as ex:
+            print(f"dubrovnik TPU f32 failed: {ex!r}")
+        with open("PARITY.md", "a") as f:
+            f.write("\n## TPU f32 production-configuration rows\n\n")
+            f.write("| check | ours | reference | rtol | status | note |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for (name, ours, ref, tol, okk, note) in ROWS:
+                f.write(
+                    f"| {name} | {ours:.6g} | {ref:.6g} | {tol} | "
+                    f"{'PASS' if okk else 'FAIL'} | {note} |\n"
+                )
+        print("appended TPU f32 rows to PARITY.md")
+        sys.exit(0 if ok else 1)
 
     from gtsam_petercdev_tpu.utils import dataset  # noqa: F401
 
