@@ -147,7 +147,7 @@ class _NpAccum:
         flat = dst.reshape(-1)
         flat[lo * W : (hi + 1) * W] += acc.astype(dst.dtype, copy=False)
 from gtsam_petercdev_tpu.inference.symbolic import (
-    colamd_ordering,
+    ccolamd_ordering,
     symbolic_eliminate,
 )
 
@@ -1413,28 +1413,25 @@ class IncrementalEngine:
             ext_refs.append((ext, extg))
             extp[li] = ext.ctypes.data
             extgp[li] = extg.ctypes.data
-            # per-LEVEL arenas with per-clique views: cliques of one level
-            # are created (and overwhelmingly die) together, so the shared
-            # base arrays do not meaningfully outlive their cliques — and
-            # the allocation cost drops from 6 allocs/clique to 6/level
-            blks = (
-                np.empty((B_real, fd, fd)),
-                np.empty((B_real, nf, d, d)),
-                np.empty((B_real, fd, sd)),
-                np.empty((B_real, fd)),
-                np.empty((B_real, sd, sd)),
-                np.empty((B_real, sd)),
-            )
-            for slot, blk in enumerate(blks):
-                stride = blk.strides[0] if blk.ndim > 1 else blk.itemsize
-                stride = int(np.prod(blk.shape[1:], dtype=np.int64)) * 8
-                pp[slot][ci : ci + B_real] = blk.ctypes.data + stride * np.arange(
-                    B_real, dtype=np.uint64
+            # per-clique allocations, NOT per-level arenas: an arena view
+            # pins the whole level alive while any one clique survives —
+            # exactly the retention class that OOM'd round 4 (measured:
+            # multi-GB RSS growth on loop-closure cascades). The alloc cost
+            # is noise next to the C sweep.
+            lv_pays = []
+            for _ in range(B_real):
+                pay = PoolArrays(
+                    L=np.empty((fd, fd)),
+                    Linv=np.empty((nf, d, d)),
+                    W=np.empty((fd, sd)),
+                    y=np.empty(fd),
+                    U=np.empty((sd, sd)),
+                    ug=np.empty(sd),
                 )
-            lv_pays = [
-                PoolArrays(*(blk[i] for blk in blks)) for i in range(B_real)
-            ]
-            ci += B_real
+                lv_pays.append(pay)
+                for slot, arr in enumerate(pay):
+                    pp[slot][ci] = arr.ctypes.data
+                ci += 1
             nat_pay.append(lv_pays)
         work = np.empty(max_m * (max_m + 1))
         c = lambda a: ctypes.c_void_p(a.ctypes.data)
@@ -1482,7 +1479,7 @@ class IncrementalEngine:
             if edge_list
             else np.zeros((0, 2), np.int64)
         )
-        base = colamd_ordering(m, edges)
+        base = ccolamd_ordering(m, edges)
         order = np.asarray(
             [v for v in base if v in first_l]
             + [v for v in base if v not in first_l and v not in last_l]

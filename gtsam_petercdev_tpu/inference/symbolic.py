@@ -137,12 +137,63 @@ def degree_ascending_ordering(n: int, edges: np.ndarray) -> np.ndarray:
     return np.argsort(deg, kind="stable").astype(np.int64)
 
 
+def ccolamd_ordering(
+    n: int, edges: np.ndarray, cmember: "np.ndarray | None" = None
+) -> np.ndarray:
+    """The REAL constrained COLAMD — the reference's production ordering
+    (inference/Ordering.cpp:55-126) — through a ctypes binding of the
+    vendored SuiteSparse CCOLAMD (compiled in place from the reference's
+    3rdparty tree; BSD third-party code). Rows are factors (here: the
+    binary adjacency edges), columns are variables; `cmember` optionally
+    assigns constraint groups (ColamdConstrainedLast semantics). Falls
+    back to the SuperLU COLAMD proxy when the library is unavailable."""
+    from gtsam_petercdev_tpu.native.build import load_ccolamd
+
+    lib = load_ccolamd()
+    if lib is None or n <= 2 or len(edges) == 0:
+        return colamd_ordering(n, edges)
+    import ctypes
+
+    nF = edges.shape[0]
+    var_of_entry = np.concatenate([edges[:, 0], edges[:, 1]])
+    fac_of_entry = np.concatenate(
+        [np.arange(nF, dtype=np.int64)] * 2
+    )
+    order = np.argsort(var_of_entry, kind="stable")
+    entries = fac_of_entry[order].astype(np.int32)
+    counts = np.bincount(var_of_entry, minlength=n)
+    nnz = entries.shape[0]
+    Alen = int(lib.ccolamd_recommended(nnz, nF, n))
+    A = np.zeros(Alen, dtype=np.int32)
+    A[:nnz] = entries
+    p = np.zeros(n + 1, dtype=np.int32)
+    p[1:] = np.cumsum(counts).astype(np.int32)
+    knobs = np.zeros(20, dtype=np.float64)
+    lib.ccolamd_set_defaults(ctypes.c_void_p(knobs.ctypes.data))
+    knobs[0] = -1.0  # CCOLAMD_DENSE_ROW (Ordering.cpp:97-98)
+    knobs[1] = -1.0  # CCOLAMD_DENSE_COL
+    stats = np.zeros(20, dtype=np.int32)
+    cm = None
+    if cmember is not None:
+        cm = np.ascontiguousarray(cmember, dtype=np.int32)
+    cp = lambda a: ctypes.c_void_p(a.ctypes.data)
+    rv = lib.ccolamd(
+        nF, n, Alen, cp(A), cp(p), cp(knobs), cp(stats),
+        cp(cm) if cm is not None else None,
+    )
+    if rv != 1:
+        return colamd_ordering(n, edges)
+    return p[:n].astype(np.int64)
+
+
 def best_ordering(n: int, edges: np.ndarray) -> np.ndarray:
     """Pick the ordering with the least (padded) symbolic fill — the planner
-    is cheap relative to the numeric solve, so try ND, COLAMD, and
+    is cheap relative to the numeric solve, so try ND, CCOLAMD (real, via
+    the vendored SuiteSparse binding), the COLAMD proxy, and
     degree-ascending."""
     candidates = [
         nested_dissection_ordering(n, edges),
+        ccolamd_ordering(n, edges),
         colamd_ordering(n, edges),
         degree_ascending_ordering(n, edges),
     ]

@@ -112,6 +112,7 @@ def run_city10000(
 
     lines = parse_city10000(path, max_steps)
     res = CityResult(estimate=None, n_poses=1)
+    _reelim_acc: List[int] = []
     compose_j = jax.jit(pose2.compose)
     t_start = time.perf_counter()
     for (keyS, keyT, meas) in lines:
@@ -129,8 +130,9 @@ def run_city10000(
             nf.add(between_factor("Pose2"), [keyS, keyT], odom, loop_sig)
             res.n_loop_closures += 1
         t0 = time.perf_counter()
-        isam.update(nf, nv)
+        upd = isam.update(nf, nv)
         res.step_times.append(time.perf_counter() - t0)
+        _reelim_acc.append(upd.n_reeliminated)
         if progress_every and len(res.step_times) % progress_every == 0:
             try:  # release allocator free-lists (closure-sized transients
                 # fragment glibc arenas into multi-GB RSS otherwise)
@@ -150,9 +152,11 @@ def run_city10000(
                             break
             except OSError:
                 pass
+            seg_re = _reelim_acc[-progress_every:]
             print(
                 f"step {k}: poses={res.n_poses} loops={res.n_loop_closures} "
-                f"avg {avg:.1f} ms/step rss={rss_gb:.1f}GB",
+                f"avg {avg:.1f} ms/step rss={rss_gb:.1f}GB "
+                f"reelim mean {np.mean(seg_re):.0f} max {max(seg_re)}",
                 flush=True,
             )
             if checkpoint_path is not None:

@@ -89,6 +89,57 @@ def load_solve_library():
             return None
 
 
+_CCOLAMD_LIB = os.path.join(_DIR, "_ccolamd.so")
+_CCOLAMD_SRC = "/root/reference/gtsam/3rdparty/CCOLAMD/Source/ccolamd.c"
+_CCOLAMD_INC = [
+    "/root/reference/gtsam/3rdparty/CCOLAMD/Include",
+    "/root/reference/gtsam/3rdparty/SuiteSparse_config",
+]
+_CCOLAMD_CACHED = None
+_CCOLAMD_FAILED = False
+
+
+def load_ccolamd():
+    """Compile (from the reference's vendored SuiteSparse CCOLAMD — BSD
+    third-party code, built in place, nothing copied into this repo) and
+    dlopen the real constrained-COLAMD ordering backend. None on failure
+    (best_ordering falls back to the other candidates)."""
+    global _CCOLAMD_CACHED, _CCOLAMD_FAILED
+    with _LOCK:
+        if _CCOLAMD_CACHED is not None:
+            return _CCOLAMD_CACHED
+        if _CCOLAMD_FAILED:
+            return None
+        try:
+            if not os.path.exists(_CCOLAMD_SRC):
+                raise FileNotFoundError(_CCOLAMD_SRC)
+            if (not os.path.exists(_CCOLAMD_LIB)) or os.path.getmtime(
+                _CCOLAMD_SRC
+            ) > os.path.getmtime(_CCOLAMD_LIB):
+                subprocess.run(
+                    ["gcc", "-O2", "-fPIC", "-shared"]
+                    + [f"-I{p}" for p in _CCOLAMD_INC]
+                    + [_CCOLAMD_SRC,
+                       "/root/reference/gtsam/3rdparty/SuiteSparse_config/"
+                       "SuiteSparse_config.c", "-o", _CCOLAMD_LIB],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_CCOLAMD_LIB)
+            vp = ctypes.c_void_p
+            ci = ctypes.c_int
+            lib.ccolamd_recommended.restype = ctypes.c_size_t
+            lib.ccolamd_recommended.argtypes = [ci, ci, ci]
+            lib.ccolamd_set_defaults.restype = None
+            lib.ccolamd_set_defaults.argtypes = [vp]
+            lib.ccolamd.restype = ci
+            lib.ccolamd.argtypes = [ci, ci, ci, vp, vp, vp, vp, vp]
+            _CCOLAMD_CACHED = lib
+            return lib
+        except Exception:
+            _CCOLAMD_FAILED = True
+            return None
+
+
 def load_library():
     """Compile (if stale) and dlopen the native library; None on failure."""
     global _CACHED, _FAILED
