@@ -212,6 +212,10 @@ if __name__ == "__main__":
     ap.add_argument("--progress", type=int, default=200)
     ap.add_argument("--out", default=None, help="write JSON result + traj")
     ap.add_argument(
+        "--checkpoint", default=None,
+        help="save_isam2 engine checkpoint every progress tick",
+    )
+    ap.add_argument(
         "--cache", action="store_true",
         help="enable the persistent XLA compile cache (NOTE: the XLA:CPU AOT "
         "loader can crash on machine-feature mismatches; off by default)",
@@ -283,6 +287,7 @@ if __name__ == "__main__":
         dtype=jnp.float32 if args.f32 else jnp.float64,
         progress_every=args.progress,
         partial_cb=_dump if args.out else None,
+        checkpoint_path=args.checkpoint,
     )
     st = np.asarray(r.step_times) * 1e3
     print(
