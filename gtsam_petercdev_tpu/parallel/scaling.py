@@ -102,7 +102,184 @@ def _worker(n_dev: int):
     print("SCALING " + json.dumps(out), flush=True)
 
 
+def _ba_structures(n_cams=None, n_points=None, obs=3):
+    if n_cams is None:
+        n_cams = int(os.environ.get("SCALING_BA_CAMS", 200))
+    if n_points is None:
+        n_points = int(os.environ.get("SCALING_BA_PTS", 10_000))
+    """Build the ba_synth mixed-dim problem (SfmCamera d=9, Point3 d=3) in
+    the partitioned-solver's structure/Ab form. Returns
+    (graph, values, structure, Ab, var_dims, offs, dims, types, n)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.models.ba_synth import make_synthetic_ba
+    from gtsam_petercdev_tpu.models.bundle_adjustment import build_ba_graph
+
+    data = make_synthetic_ba(n_cams, n_points, obs, dtype=jnp.float64)
+    graph, values = build_ba_graph(data, dtype=jnp.float64)
+    lg = graph.linearize(values)
+    types = sorted(lg.type_counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    offs, off = {}, 0
+    for t in types:
+        offs[t] = off
+        off += lg.type_counts[t]
+    n = off
+    structure = [
+        {
+            "keys": np.stack(
+                [np.asarray(r, np.int64) + offs[t]
+                 for r, t in zip(lb.rows, lb.var_types)],
+                axis=1,
+            ),
+            "dims": tuple(dims[t] for t in lb.var_types),
+        }
+        for lb in lg.batches
+    ]
+    var_dims = np.full(n, max(dims.values()), np.int64)
+    for t in types:
+        var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+    Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+    return graph, values, structure, Ab, var_dims, offs, dims, types, n
+
+
+def _ba_worker(n_dev: int):
+    """Partitioned BA solve on the virtual mesh via uniform d=3 sub-blocks
+    (cameras split into three d=3 blocks; Point3 native) — no Point3-in-d9
+    padding. Reports solve time, equivalence vs the single-device mixed-dim
+    multifrontal, and per-device padded FLOPs; the N=1 worker also builds
+    the legacy d=9-padded plan for the padding-waste comparison."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from gtsam_petercdev_tpu.inference import elimination
+    from gtsam_petercdev_tpu.parallel import partition as pt
+
+    assert len(jax.devices()) >= n_dev
+    (graph, values, structure, Ab, var_dims, offs, dims, types, n) = (
+        _ba_structures()
+    )
+    lam = 1e-3
+    out = {"n_dev": n_dev, "n": n}
+
+    if n_dev == 1:
+        delta, _ = elimination.solve_linearized(graph, values, lam, cache={})
+        xr = np.zeros((n, int(var_dims.max())))
+        for t in types:
+            dt = np.asarray(delta[t])
+            xr[offs[t] : offs[t] + dt.shape[0], : dims[t]] = dt
+        np.save("/tmp/scaling_ba_xref.npy", xr)
+        # d9-padded legacy plan: FLOP contrast only
+        p9 = pt.build_partitioned_plan(structure, n, int(var_dims.max()),
+                                       1, var_dims=var_dims)
+        out["d9_flops"] = pt.plan_padded_flops(p9)
+    x_ref = np.load("/tmp/scaling_ba_xref.npy")
+
+    sub_structure, sub_base, n_sub = pt.split_structure_to_blocks(
+        structure, var_dims, 3
+    )
+    sub_Ab = pt.split_Ab_to_blocks(Ab, structure, 3)
+    plan = pt.build_partitioned_plan(sub_structure, n_sub, 3, n_dev)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("parts",))
+    solver = pt.PartitionedSolver(plan, mesh)
+    x = pt.merge_block_solution(
+        solver.solve(sub_Ab, lam), sub_base, var_dims, 3
+    )
+    err = float(np.abs(x - x_ref).max())
+    assert err < 1e-6, err
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solver.solve(sub_Ab, lam)
+        ts.append(time.perf_counter() - t0)
+    out.update(
+        S=int(plan.S),
+        n_sub=n_sub,
+        max_abs_diff_vs_single=err,
+        partitioned_ms=round(1e3 * float(np.median(ts)), 1),
+        d3_flops=pt.plan_padded_flops(plan),
+    )
+    print("SCALING " + json.dumps(out), flush=True)
+
+
+def _ba_main():
+    results = []
+    for n_dev in (1, 2, 4):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_dev}"
+        )
+        p = subprocess.run(
+            [sys.executable, "-m", "gtsam_petercdev_tpu.parallel.scaling",
+             "--ba", "--worker", str(n_dev)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("SCALING ")]
+        if not line:
+            print(f"BA worker N={n_dev} FAILED:\n{p.stdout[-3000:]}\n"
+                  f"{p.stderr[-3000:]}")
+            sys.exit(1)
+        rec = json.loads(line[0][len("SCALING "):])
+        results.append(rec)
+        print(rec, flush=True)
+
+    t1 = results[0]["partitioned_ms"]
+    d9 = results[0]["d9_flops"]
+    lines = [
+        "",
+        "## Partitioned BA (ba_synth 200 cams / 10k pts / 30k obs), mixed dims",
+        "",
+        "Cameras (d=9) are split into three d=3 sub-blocks and Point3 stays",
+        "native d=3 (`split_structure_to_blocks`), so the uniform-block",
+        "partitioned planner pays NO Point3-in-d9 padding. Equivalence vs",
+        "the single-device mixed-dim multifrontal solve asserted <= 1e-6",
+        "per row. FLOPs are computed from the padded level signatures",
+        "(plan_padded_flops): every device runs the same padded program.",
+        "",
+        "| N devices | separator (d3 blocks) | solve ms | efficiency vs N=1 |"
+        " per-device padded GFLOP | max abs diff |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        n_dev = r["n_dev"]
+        t = r["partitioned_ms"]
+        eff = t1 / (n_dev * t)
+        lines.append(
+            f"| {n_dev} | {r['S']} | {t} | {eff * 100:.0f}% | "
+            f"{r['d3_flops']['interior_gflops_per_device']:.2f} (+"
+            f"{r['d3_flops']['separator_gflops_replicated']:.2f} sep) | "
+            f"{r['max_abs_diff_vs_single']:.1e} |"
+        )
+    d3_1 = results[0]["d3_flops"]["interior_gflops_per_device"]
+    lines += [
+        "",
+        f"Padding-waste contrast at N=1: legacy d=9-padded plan "
+        f"{d9['interior_gflops_per_device']:.2f} GFLOP vs d=3 sub-block "
+        f"plan {d3_1:.2f} GFLOP — "
+        f"{d9['interior_gflops_per_device'] / max(d3_1, 1e-9):.1f}x "
+        "padded-FLOP reduction from eliminating Point3-in-d9 padding.",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "..", "..",
+                           "SCALING.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print("appended BA section to SCALING.md")
+
+
 def main():
+    if "--ba" in sys.argv:
+        if "--worker" in sys.argv:
+            _ba_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+        else:
+            _ba_main()
+        return
     if "--worker" in sys.argv:
         _worker(int(sys.argv[sys.argv.index("--worker") + 1]))
         return

@@ -135,3 +135,65 @@ def test_partitioned_gn_converges(rng):
 
     ref = gauss_newton(g, v)
     assert abs(err - float(ref.error)) < 1e-6
+
+
+def test_subblock_split_ba_matches_multifrontal():
+    """Mixed-dim BA (SfmCamera d=9 + Point3 d=3) through the uniform d=3
+    sub-block partitioned solve == single-device multifrontal (the
+    Point3-in-d9 padding eliminator; gtsam/linear/Scatter.h:49 semantics)."""
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.inference import elimination
+    from gtsam_petercdev_tpu.models.ba_synth import make_synthetic_ba
+    from gtsam_petercdev_tpu.models.bundle_adjustment import build_ba_graph
+    from gtsam_petercdev_tpu.parallel import partition as pt
+
+    data = make_synthetic_ba(
+        n_cams=16, n_points=200, obs_per_point=3, dtype=jnp.float64
+    )
+    graph, values = build_ba_graph(data, dtype=jnp.float64)
+    lg = graph.linearize(values)
+    types = sorted(lg.type_counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    offs, off = {}, 0
+    for t in types:
+        offs[t] = off
+        off += lg.type_counts[t]
+    n = off
+    structure = [
+        {
+            "keys": np.stack(
+                [np.asarray(r, np.int64) + offs[t]
+                 for r, t in zip(lb.rows, lb.var_types)],
+                axis=1,
+            ),
+            "dims": tuple(dims[t] for t in lb.var_types),
+        }
+        for lb in lg.batches
+    ]
+    var_dims = np.full(n, 9, np.int64)
+    for t in types:
+        var_dims[offs[t] : offs[t] + lg.type_counts[t]] = dims[t]
+    Ab = tuple((lb.A, lb.b) for lb in lg.batches)
+    lam = 1e-3
+    delta, _ = elimination.solve_linearized(graph, values, lam, cache={})
+
+    sub_structure, sub_base, n_sub = pt.split_structure_to_blocks(
+        structure, var_dims, 3
+    )
+    assert n_sub == sum(int(v) // 3 for v in var_dims)
+    sub_Ab = pt.split_Ab_to_blocks(Ab, structure, 3)
+    n_dev = min(2, len(jax.devices()))
+    plan = pt.build_partitioned_plan(sub_structure, n_sub, 3, n_dev)
+    solver = PartitionedSolver(
+        plan, Mesh(np.array(jax.devices()[:n_dev]), ("parts",))
+    )
+    x = pt.merge_block_solution(
+        solver.solve(sub_Ab, lam), sub_base, var_dims, 3
+    )
+    for t in types:
+        want = np.asarray(delta[t])
+        got = x[offs[t] : offs[t] + lg.type_counts[t], : dims[t]]
+        np.testing.assert_allclose(got, want, atol=1e-8, err_msg=t)
+
+    fl = pt.plan_padded_flops(plan)
+    assert fl["interior_gflops_per_device"] > 0
