@@ -143,9 +143,19 @@ def main():
     except Exception as e:
         print(f"# BA bench failed: {e!r}", file=sys.stderr)
     try:
+        ba_rec = _budgeted(_ba_scale_iters_per_s, 900)
         extras["ba_synth_1000cam_50kpt_lm_iters_per_s"] = round(
-            _budgeted(_ba_scale_iters_per_s, 900), 3
+            ba_rec["iters_per_s"], 3
         )
+        if ba_rec.get("gflops"):
+            extras["ba_synth_step_gflops"] = round(ba_rec["gflops"], 2)
+            extras["ba_synth_achieved_gflops_per_s"] = round(
+                ba_rec["gflops"] * ba_rec["iters_per_s"], 2
+            )
+        if "padding_waste_pct" in ba_rec:
+            extras["ba_synth_factorization_padding_waste_pct"] = ba_rec[
+                "padding_waste_pct"
+            ]
     except Exception as e:
         print(f"# BA-scale bench failed: {e!r}", file=sys.stderr)
 
@@ -160,6 +170,12 @@ def main():
         extras["sphere2500_achieved_gflops_per_s"] = round(
             flops / (iter_ms / 1e3) / 1e9, 2
         )
+    try:
+        extras["sphere2500_factorization_padding_waste_pct"] = (
+            elimination.plan_flop_stats(plan)["padding_waste_pct"]
+        )
+    except Exception as e:
+        print(f"# flop stats failed: {e!r}", file=sys.stderr)
     if extras:
         rec["extras"] = extras
     print(json.dumps(rec))
@@ -228,7 +244,21 @@ def _ba_scale_iters_per_s(n_cams=1000, n_pts=50_000, obs=4):
             cur = lm_iter(cur)
         jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
         times.append((_time.perf_counter() - t0) / 4)
-    return 1.0 / float(np.median(times))
+    rec = {"iters_per_s": 1.0 / float(np.median(times))}
+    try:
+        ca = lm_iter.lower(values).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        rec["gflops"] = float(ca.get("flops", 0.0)) / 1e9
+    except Exception:
+        pass
+    try:
+        rec["padding_waste_pct"] = elimination.plan_flop_stats(
+            plan, var_dims
+        )["padding_waste_pct"]
+    except Exception:
+        pass
+    return rec
 
 
 def _ba_iters_per_s():

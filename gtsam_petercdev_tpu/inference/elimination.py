@@ -959,3 +959,41 @@ def solve_linearized(graph, values, lam, diagonal_damping=False, cache=None):
         jnp.vdot(delta[tt], Hd[tt]) for tt in delta
     )
     return delta, lin_dec
+
+
+def plan_flop_stats(plan, var_dims=None):
+    """Padded vs native factorization FLOPs of one multifrontal sweep.
+
+    Padded: every clique executes at its bucket's (nf_pad, ns_pad) * d
+    shape (what the device actually runs). Native: the clique's true
+    frontal/separator dims under var_dims (what the reference's
+    variable-size blocks would run, gtsam/linear/Scatter.h:49). The ratio
+    is the shape-class + dim-padding waste — reported by bench.py so
+    "padding rides the MXU" is falsifiable (VERDICT r4).
+    """
+    d = plan.d
+    if var_dims is None:
+        var_dims = np.full(plan.n, d, dtype=np.int64)
+
+    def _flops(f, s):
+        return f**3 / 3.0 + f * f * s + f * s * s
+
+    padded = native = 0.0
+    for lv in plan.levels:
+        for bk in lv:
+            fpad, spad = bk.nf * d, bk.ns * d
+            padded += len(bk.cliques) * _flops(fpad, spad)
+            for cid in bk.cliques:
+                c = plan.cliques[cid]
+                ft = float(sum(var_dims[plan.perm[pv]] for pv in c.frontal))
+                st = float(
+                    sum(var_dims[plan.perm[pv]] for pv in c.separator)
+                )
+                native += _flops(ft, st)
+    return {
+        "padded_gflops": padded / 1e9,
+        "native_gflops": native / 1e9,
+        "padding_waste_pct": round(100.0 * (1.0 - native / padded), 1)
+        if padded
+        else 0.0,
+    }

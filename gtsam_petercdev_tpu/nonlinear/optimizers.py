@@ -462,3 +462,96 @@ def nonlinear_conjugate_gradient(
         d = {t: g_new[t] + beta * d[t] for t in d}
         g, gg = g_new, gg_new
     return OptimizerResult(values, err, it, converged, history)
+
+
+def gauss_newton_mixed_precision(
+    graph_dev: NonlinearFactorGraph,
+    graph_host: NonlinearFactorGraph,
+    values_host: Values,
+    params: Optional[OptimizerParams] = None,
+    lam: float = 1e-5,
+) -> OptimizerResult:
+    """Mixed-precision iterative-refinement Gauss-Newton (SURVEY §7's f32
+    mitigation): all O(n d^3) factorization work runs in f32 on the
+    accelerator, while the whitened residual (the GN right-hand side) and
+    the state are evaluated in f64 on the host CPU. Classic iterative
+    refinement — high-precision residual, low-precision correction solve —
+    so the iteration converges to the f64 optimum even though the device
+    never leaves f32.
+
+    graph_dev: the f32 graph (device dtype); graph_host/values_host: f64
+    twins of the same problem (identical factor-batch order, e.g. two
+    read_g2o calls with different dtypes, the host one built under a
+    `jax.enable_x64(True)` context). Host-side evaluation runs inside
+    `jax.enable_x64(True)` scoped blocks, so global x64 stays off and no
+    i64/f64 arrays ever reach the accelerator's compiled path. Solver is
+    the supernodal multifrontal path.
+    """
+    import numpy as np
+
+    from gtsam_petercdev_tpu.core import manifold
+    from gtsam_petercdev_tpu.inference import elimination
+
+    params = params or OptimizerParams()
+    cpu = jax.devices("cpu")[0]
+    graph_dev._materialize()
+    with jax.default_device(cpu), jax.enable_x64(True):
+        graph_host._materialize()
+
+    structure = elimination.graph_structure(graph_dev, values_host)
+    counts = {t: values_host._count(t) for t in values_host.types()}
+    offs = elimination.type_offsets(counts)
+    types = sorted(counts)
+    dims = {t: manifold.get(t).dim for t in types}
+    d = max(dims.values())
+    n = sum(counts.values())
+    var_dims = np.full(n, d, dtype=np.int64)
+    for t in types:
+        var_dims[offs[t] : offs[t] + counts[t]] = dims[t]
+    plan = elimination.build_plan_for_graph(
+        structure, n, d, max_buckets_per_level=4
+    )
+    maps = elimination.build_numeric_maps(plan, structure, var_dims=var_dims)
+
+    @jax.jit
+    def dev_step(v32, bs):
+        lg = graph_dev.linearize(v32)
+        Ab = tuple((lb.A, b) for lb, b in zip(lg.batches, bs))
+        return elimination._multifrontal_solve_impl(maps, Ab, lam)
+
+    def _to_f32(vals):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float32), vals
+        )
+
+    with jax.default_device(cpu), jax.enable_x64(True):
+        err = float(graph_host.error(values_host))
+    history = [err]
+    converged = False
+    it = 0
+    for it in range(1, params.max_iterations + 1):
+        with jax.default_device(cpu), jax.enable_x64(True):
+            lg64 = graph_host.linearize(values_host)
+            b64 = [np.asarray(lb.b) for lb in lg64.batches]
+        v32 = _to_f32(values_host)
+        x = np.asarray(
+            dev_step(v32, tuple(jnp.asarray(b, jnp.float32) for b in b64)),
+            dtype=np.float64,
+        )
+        delta = {
+            t: x[offs[t] : offs[t] + counts[t], : dims[t]] for t in types
+        }
+        with jax.default_device(cpu), jax.enable_x64(True):
+            values_host = values_host.retract(
+                {t: jnp.asarray(v) for t, v in delta.items()}
+            )
+            new_err = float(graph_host.error(values_host))
+        history.append(new_err)
+        if params.verbose:
+            print(f"GN-mixed iter {it}: {err:.6e} -> {new_err:.6e}")
+        if check_convergence(params, err, new_err):
+            err = new_err
+            converged = True
+            break
+        err = new_err
+    return OptimizerResult(values_host, err, it, converged, history)
