@@ -62,3 +62,23 @@ def test_nonlinear_cg_reduces_error():
         graph, values, optimizers.OptimizerParams(max_iterations=200)
     )
     assert res.error < 0.1 * start_err
+
+
+def test_mixed_precision_refinement_reaches_f64_optimum():
+    """f32 device factorization + f64 host residual/retract (iterative
+    refinement, SURVEY §7) must converge to the f64 GN optimum even though
+    every linear solve runs in f32 (optimizers.gauss_newton_mixed_precision;
+    conftest enables x64, matching the CPU test environment)."""
+    import jax
+
+    g64, v64 = _square_problem(jnp.float64)
+    g32, _ = _square_problem(jnp.float32)
+    ref = optimizers.gauss_newton(
+        g64, v64, optimizers.OptimizerParams(max_iterations=20)
+    )
+    res = optimizers.gauss_newton_mixed_precision(
+        g32, g64, v64, optimizers.OptimizerParams(max_iterations=20)
+    )
+    assert res.error <= ref.error + 1e-10
+    leaf = jax.tree_util.tree_leaves(res.values)[0]
+    assert leaf.dtype == jnp.float64
