@@ -90,10 +90,17 @@ def load_solve_library():
 
 
 _CCOLAMD_LIB = os.path.join(_DIR, "_ccolamd.so")
-_CCOLAMD_SRC = "/root/reference/gtsam/3rdparty/CCOLAMD/Source/ccolamd.c"
+# CCOLAMD is third-party BSD SuiteSparse code, never vendored here: build
+# from a source tree (GTSAM_TPU_CCOLAMD_ROOT env var, or a checkout of the
+# reference next door) or fall back to the system libccolamd; on total
+# failure best_ordering simply drops this candidate.
+_CCOLAMD_ROOT = os.environ.get(
+    "GTSAM_TPU_CCOLAMD_ROOT", "/root/reference/gtsam/3rdparty"
+)
+_CCOLAMD_SRC = os.path.join(_CCOLAMD_ROOT, "CCOLAMD/Source/ccolamd.c")
 _CCOLAMD_INC = [
-    "/root/reference/gtsam/3rdparty/CCOLAMD/Include",
-    "/root/reference/gtsam/3rdparty/SuiteSparse_config",
+    os.path.join(_CCOLAMD_ROOT, "CCOLAMD/Include"),
+    os.path.join(_CCOLAMD_ROOT, "SuiteSparse_config"),
 ]
 _CCOLAMD_CACHED = None
 _CCOLAMD_FAILED = False
@@ -111,20 +118,30 @@ def load_ccolamd():
         if _CCOLAMD_FAILED:
             return None
         try:
-            if not os.path.exists(_CCOLAMD_SRC):
-                raise FileNotFoundError(_CCOLAMD_SRC)
-            if (not os.path.exists(_CCOLAMD_LIB)) or os.path.getmtime(
-                _CCOLAMD_SRC
-            ) > os.path.getmtime(_CCOLAMD_LIB):
+            if os.path.exists(_CCOLAMD_SRC) and (
+                (not os.path.exists(_CCOLAMD_LIB))
+                or os.path.getmtime(_CCOLAMD_SRC)
+                > os.path.getmtime(_CCOLAMD_LIB)
+            ):
                 subprocess.run(
                     ["gcc", "-O2", "-fPIC", "-shared"]
                     + [f"-I{p}" for p in _CCOLAMD_INC]
                     + [_CCOLAMD_SRC,
-                       "/root/reference/gtsam/3rdparty/SuiteSparse_config/"
-                       "SuiteSparse_config.c", "-o", _CCOLAMD_LIB],
+                       os.path.join(_CCOLAMD_ROOT,
+                                    "SuiteSparse_config/"
+                                    "SuiteSparse_config.c"),
+                       "-o", _CCOLAMD_LIB],
                     check=True, capture_output=True, timeout=120,
                 )
-            lib = ctypes.CDLL(_CCOLAMD_LIB)
+            if os.path.exists(_CCOLAMD_LIB):
+                lib = ctypes.CDLL(_CCOLAMD_LIB)
+            else:  # system SuiteSparse install
+                from ctypes.util import find_library
+
+                name = find_library("ccolamd")
+                if name is None:
+                    raise FileNotFoundError("ccolamd: no source, no system lib")
+                lib = ctypes.CDLL(name)
             vp = ctypes.c_void_p
             ci = ctypes.c_int
             lib.ccolamd_recommended.restype = ctypes.c_size_t
